@@ -1,0 +1,128 @@
+"""Engine-level configuration.
+
+TPU-native analog of the reference's option surfaces:
+- `snn::Precision` / `WeightAccessMethod` / `MRTMode` (reference
+  core/inc/snn/snn.h:54-117) collapse into `Precision` below: on TPU there
+  is one weight store (HBM arrays) and no MRT-style multi-pass channel
+  chunking — channel splitting is done by sharding across chips instead.
+- `snn::dp::ShaderGenOptions` (reference core/inc/snn/layeroption.h:27-47)
+  becomes `EngineOptions`: the per-layer "fragment vs compute shader vs
+  Vulkan" choice becomes "XLA-native op vs custom Pallas kernel".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Sequence
+
+
+class Precision(enum.Enum):
+    """Compute/storage precision policy.
+
+    The reference supports FP32/FP16 (core/inc/snn/snn.h:64-67); on TPU the
+    half-precision story is bfloat16, and the low-bit story is int8
+    weight-only quantization with per-channel scales (BASELINE.json
+    north_star).
+    """
+
+    FP32 = "fp32"
+    BF16 = "bf16"
+    INT8 = "int8"  # int8 weights + per-channel scales, bf16/fp32 activations
+
+    @property
+    def activation_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.float32 if self is Precision.FP32 else jnp.bfloat16
+
+    @property
+    def is_quantized(self) -> bool:
+        return self is Precision.INT8
+
+
+class BackendKind(enum.Enum):
+    """Which compute path implements a layer.
+
+    Analog of the reference's per-layer FS/CS/Vulkan selection
+    (core/src/ic2/genericlayer.cpp:92-114 createCS/createFS fallback).
+    """
+
+    XLA = "xla"  # plain jax.numpy / lax ops, XLA fuses
+    PALLAS = "pallas"  # hand-written Pallas kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingOptions:
+    """How to lay the model out over a device mesh.
+
+    The mesh axes follow the scaling-book convention: `data` for
+    batch/frame parallelism, `model` for channel (tensor) parallelism and
+    `spatial` for H-dimension partitioning with halo exchange.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    spatial_axis: str = "spatial"
+    # Number of ways to shard each axis; 1 = off. Products must divide the
+    # device count of the mesh the engine is given.
+    data: int = 1
+    model: int = 1
+    spatial: int = 1
+
+    @property
+    def total_devices(self) -> int:
+        return self.data * self.model * self.spatial
+
+    @property
+    def is_sharded(self) -> bool:
+        return self.total_devices > 1
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineOptions:
+    """Creation-time options for `Engine` / `InferenceProcessor`.
+
+    Mirrors `InferenceProcessor::InitializationParameters` (reference
+    demo/common/inferenceProcessor.h:34-45) with TPU-native fields.
+    """
+
+    precision: Precision = Precision.FP32
+    backend: BackendKind = BackendKind.XLA
+    # Per-layer backend override: node name -> BackendKind.
+    backend_overrides: Optional[dict] = None
+    batch_size: int = 1
+    sharding: ShardingOptions = dataclasses.field(default_factory=ShardingOptions)
+    # Fold BatchNorm into preceding conv weights at load (the reference
+    # fuses BN into the conv shader epilogue: conv2dGL.cpp:666-747).
+    fold_batchnorm: bool = True
+    # Dump every layer's output for the validation harness (reference
+    # --dump_outputs, openGLRenderpass.cpp:764-899).
+    dump_outputs: bool = False
+    dump_dir: str = "layer_dumps"
+    # Donate input frame buffers to the compiled step (the analog of the
+    # reference's zero-copy texture attach, imageTexture.h:31). Off by
+    # default because donated buffers cannot be re-submitted (benchmarks
+    # re-feed the same frame); the streaming pipeline turns it on.
+    donate_input: bool = False
+    # Benchmark bookkeeping (reference NUM_EXCLUDE_FIRST_LOOPS=5,
+    # inferenceProcessor.cpp:90).
+    warmup_loops: int = 5
+
+    def backend_for(self, node_name: str) -> BackendKind:
+        if self.backend_overrides and node_name in self.backend_overrides:
+            return self.backend_overrides[node_name]
+        return self.backend
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelType:
+    """Postprocessing family, reference `snn::ModelType` (snn.h:96-101)."""
+
+    OTHER = "other"
+    CLASSIFICATION = "classification"
+    DETECTION = "detection"
+
+
+def default_options(**kwargs) -> EngineOptions:
+    return EngineOptions(**kwargs)

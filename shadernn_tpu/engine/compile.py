@@ -1,0 +1,168 @@
+"""Graph -> jitted XLA executable.
+
+TPU-native replacement for the reference "compile" path
+(dp::generateInferenceGraph + MixedInferenceCore::init,
+core/src/ic2/dp.cpp:169-382 and core/src/ic2/core.cpp:294-432): where the
+reference generates + compiles one GLSL shader per layer and allocates
+textures per render stage, here the whole DAG is traced into ONE function
+and jit-compiled by XLA, which does the fusion the reference did by shader
+codegen. Weights live in a params pytree (device-resident, shardable);
+intermediate "textures" are XLA temporaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadernn_tpu.config import BackendKind, EngineOptions, Precision
+from shadernn_tpu.graph.ir import Graph, Node
+from shadernn_tpu.ops.registry import RunCtx, get_op
+
+Params = Dict[str, Dict[str, jax.Array]]
+
+
+def extract_params(graph: Graph) -> Params:
+    """Pull every node's weights into a pytree keyed by node name.
+
+    The analog of the reference's per-pass weight upload
+    (openGLRenderpass.cpp:130-634) — one device_put of the whole tree.
+    """
+    params: Params = {}
+    for n in graph.nodes.values():
+        if n.params:
+            params[n.name] = {k: np.asarray(v) for k, v in n.params.items()}
+    return params
+
+
+@dataclasses.dataclass
+class _NodeView:
+    """Shallow node proxy whose params come from the traced pytree, so op
+    bodies written against `node.params` see tracers under jit."""
+
+    _node: Node
+    params: Dict[str, jax.Array]
+
+    @property
+    def name(self):
+        return self._node.name
+
+    @property
+    def op(self):
+        return self._node.op
+
+    @property
+    def inputs(self):
+        return self._node.inputs
+
+    @property
+    def attrs(self):
+        return self._node.attrs
+
+    @property
+    def out_spec(self):
+        return self._node.out_spec
+
+    def attr(self, key: str, default=None):
+        return self._node.attr(key, default)
+
+
+def build_forward(
+    graph: Graph, options: EngineOptions
+) -> Callable[[Params, Dict[str, jax.Array]], Dict[str, jax.Array]]:
+    """Build the pure forward function over (params, inputs).
+
+    Returns all graph outputs; with options.dump_outputs, returns every
+    layer's activation as well (the analog of the reference --dump_outputs
+    path, openGLRenderpass.cpp:764-899, used by the layer-dump validation
+    harness).
+    """
+    order = graph.toposort()
+    act_dtype = options.precision.activation_dtype
+
+    def forward(params: Params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        env: Dict[str, jax.Array] = {}
+        for node in order:
+            if node.op == "InputLayer":
+                x = inputs[node.name]
+                env[node.name] = x.astype(act_dtype)
+                continue
+            view = _NodeView(node, params.get(node.name, {}))
+            xs = [env[i] for i in node.inputs]
+            ctx = RunCtx(
+                precision=options.precision,
+                backend=options.backend_for(node.name),
+                sharding=options.sharding,
+            )
+            env[node.name] = get_op(node.op).run(view, xs, ctx)
+        outs = {o: env[o].astype(jnp.float32) for o in graph.output_names}
+        if options.dump_outputs:
+            outs["__dumps__"] = {
+                n.name: env[n.name].astype(jnp.float32)
+                for n in order
+                if n.op != "InputLayer"
+            }
+        return outs
+
+    return forward
+
+
+@dataclasses.dataclass
+class CompiledModel:
+    """A model ready to run: graph + device params + jitted step.
+
+    Analog of `MixedInferenceCore` (core/inc/snn/core.h:66-117) minus the
+    per-stage machinery XLA subsumes.
+    """
+
+    graph: Graph
+    options: EngineOptions
+    params: Params
+    step: Callable  # jitted (params, inputs) -> outputs
+    input_specs: Dict[str, tuple]
+
+    def __call__(self, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        return self.step(self.params, inputs)
+
+    def run_single(self, x) -> jax.Array:
+        """Convenience: one input, first output."""
+        (in_name,) = self.graph.input_names
+        outs = self(
+            {in_name: x if hasattr(x, "dtype") else jnp.asarray(x)}
+        )
+        return outs[self.graph.output_names[0]]
+
+
+def compile_graph(
+    graph: Graph,
+    options: Optional[EngineOptions] = None,
+    mesh=None,
+) -> CompiledModel:
+    """Shape-infer, extract params to device, and jit the forward step.
+
+    `mesh` (a jax.sharding.Mesh) enables the SPMD path — see
+    shadernn_tpu.parallel for weight/activation sharding rules.
+    """
+    options = options or EngineOptions()
+    if any(n.out_spec is None for n in graph.nodes.values()):
+        graph.infer_shapes(batch_size=options.batch_size)
+
+    params = extract_params(graph)
+    forward = build_forward(graph, options)
+
+    if mesh is not None:
+        from shadernn_tpu.parallel.sharding import shard_compiled
+
+        return shard_compiled(graph, options, params, forward, mesh)
+
+    params = jax.device_put(jax.tree.map(jnp.asarray, params))
+    donate = (1,) if options.donate_input else ()
+    step = jax.jit(forward, donate_argnums=donate)
+    input_specs = {
+        n: graph.nodes[n].out_spec.shape for n in graph.input_names
+    }
+    return CompiledModel(graph, options, params, step, input_specs)

@@ -1,0 +1,137 @@
+"""High-level inference engine.
+
+The TPU-native `Engine` plays the role of the reference's
+`InferenceProcessor` + `MixedInferenceCore` pair
+(demo/common/inferenceProcessor.h:32-92, core/inc/snn/core.h:66-117):
+load a model artifact, optimize + compile it, then run frames with
+timing statistics. Postprocessing families mirror snn::ModelType
+(classification argmax / detection boxes, core.cpp:228-238) but run
+inside the jitted program.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadernn_tpu.config import EngineOptions
+from shadernn_tpu.engine.compile import CompiledModel, compile_graph
+from shadernn_tpu.graph import fusion
+from shadernn_tpu.graph.ir import Graph
+from shadernn_tpu.utils import TimingStats, get_logger
+
+logger = get_logger("snn_tpu.engine")
+
+
+class Engine:
+    """Load -> optimize -> compile -> run.
+
+    Usage:
+        eng = Engine.from_graph(graph, EngineOptions(precision=Precision.BF16))
+        out = eng.run({"input": frames})     # frames: (N, H, W, C)
+    """
+
+    def __init__(self, model: CompiledModel):
+        self.model = model
+        self.stats = TimingStats()
+        self._runs = 0
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_graph(
+        cls,
+        graph: Graph,
+        options: Optional[EngineOptions] = None,
+        mesh=None,
+        optimize: bool = True,
+    ) -> "Engine":
+        options = options or EngineOptions()
+        if optimize:
+            counts = fusion.optimize(graph, fold_bn=options.fold_batchnorm)
+            logger.info("graph optimize: %s", counts)
+        graph.infer_shapes(batch_size=options.batch_size)
+        if options.precision.is_quantized:
+            from shadernn_tpu.quant.quantize import quantize_graph_weights
+
+            quantize_graph_weights(graph)
+        logger.info("\n%s", graph.summary())
+        return cls(compile_graph(graph, options, mesh=mesh))
+
+    @classmethod
+    def from_json(
+        cls,
+        path: Union[str, os.PathLike],
+        options: Optional[EngineOptions] = None,
+        mesh=None,
+    ) -> "Engine":
+        """Load a ShaderNN-format model artifact (JSON or _layers.json +
+        _weights.bin pair — reference modelparser.cpp:238-260)."""
+        from shadernn_tpu.graph.parser import parse_model_file
+
+        graph = parse_model_file(path)
+        return cls.from_graph(graph, options, mesh=mesh)
+
+    # -- execution ---------------------------------------------------------
+    @property
+    def graph(self) -> Graph:
+        return self.model.graph
+
+    @property
+    def options(self) -> EngineOptions:
+        return self.model.options
+
+    def run(self, inputs: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        """One engine step over a batch of frames, timed.
+
+        Times include host->device transfer of the inputs and blocking on
+        the result — the per-frame latency the reference reports
+        (inferenceProcessor.cpp:94-120).
+        """
+        self.stats.total.start()
+        dev_inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        outs = self.model(dev_inputs)
+        jax.block_until_ready(outs)
+        self.stats.total.stop()
+        self._runs += 1
+        return outs
+
+    def run_single(self, x: np.ndarray) -> jax.Array:
+        (in_name,) = self.graph.input_names
+        return self.run({in_name: x})[self.graph.output_names[0]]
+
+    def classify(self, x: np.ndarray) -> np.ndarray:
+        """Argmax postprocess (reference CLASSIFICATION path, core.cpp:228)."""
+        logits = self.run_single(x)
+        return np.asarray(jnp.argmax(logits, axis=-1))
+
+    # -- reporting ---------------------------------------------------------
+    def time_report(self) -> str:
+        return self.stats.report(warmup=self.options.warmup_loops)
+
+    def benchmark(self, inputs: Dict[str, np.ndarray], loops: int = 20) -> dict:
+        """Run `loops` iterations; returns mean/p50 latency and frames/s
+        excluding the first `warmup_loops` (reference
+        NUM_EXCLUDE_FIRST_LOOPS=5, inferenceProcessor.cpp:90)."""
+        dev_inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        for _ in range(loops):
+            self.stats.total.start()
+            outs = self.model(dev_inputs)
+            jax.block_until_ready(outs)
+            self.stats.total.stop()
+        t = self.stats.total.excluding_warmup(self.options.warmup_loops)
+        batch = next(iter(dev_inputs.values())).shape[0]
+        samples = sorted(t.samples)
+        p50 = samples[len(samples) // 2] if samples else 0.0
+        return {
+            "mean_ms": 1e3 * t.mean,
+            "p50_ms": 1e3 * p50,
+            "min_ms": 1e3 * t.min,
+            "stdev_ms": 1e3 * t.stdev(),
+            "frames_per_sec": batch / t.mean if t.mean else 0.0,
+            "loops": t.count,
+            "batch": batch,
+        }

@@ -1,0 +1,212 @@
+"""Convolution family: Conv2D, SeparableConv2D (depthwise), Conv2DTranspose.
+
+TPU-native re-design of the reference conv operators (core/src/ic2/conv2d.cpp,
+separableconvolution.cpp, deconv2dGL.cpp). Where the reference generates a
+GLSL shader per layer with weights baked in and a fused
+bias+BN+activation epilogue (conv2dGL.cpp:666-833), here the epilogue is
+expressed in jnp and XLA fuses it into the convolution; the MRT multi-pass
+output-channel chunking (conv2dGL.cpp:841-860) has no single-chip analog
+(the MXU wants channels large, not chunked) — its multi-device analog is
+channel sharding in shadernn_tpu.parallel.
+
+Weight layout: HWIO float32 (or int8 + per-output-channel scales for
+Precision.INT8 — fused dequant happens in the kernel). The reference's
+OIHW->HWO4I4 texture repack (conv2d.cpp:135-160) is replaced by whatever
+layout XLA/Mosaic picks.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadernn_tpu.graph.ir import Node, TensorSpec, Transform, transform_output_dims
+from shadernn_tpu.ops.common import apply_activation, is_same_padding, padding_offsets
+from shadernn_tpu.ops.registry import OpDef, RunCtx, register
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def get_weight(node: Node, name: str = "weight", compute_dtype=jnp.float32):
+    """Materialize a weight, dequantizing int8 weight-only storage.
+
+    INT8 storage: params[f"{name}_q"] int8 + params[f"{name}_scale"]
+    per-output-channel float32 (BASELINE.json north_star). The XLA path
+    dequantizes here (cheap, weight-sized); the Pallas path fuses dequant
+    into the kernel instead.
+    """
+    if f"{name}_q" in node.params:
+        wq = node.params[f"{name}_q"]
+        scale = node.params[f"{name}_scale"]
+        return wq.astype(compute_dtype) * scale.astype(compute_dtype)
+    return node.params[name].astype(compute_dtype)
+
+
+def bn_scale_offset(node: Node, out_dtype):
+    """Per-channel (scale, offset) for an unfolded BatchNorm epilogue.
+
+    y = gamma * (x - mean) / sqrt(var + eps) + beta. The reference folds
+    this into the generated shader (conv2dGL.cpp:666-747); here it's two
+    per-channel vectors XLA fuses into the conv epilogue.
+    """
+    eps = float(node.attr("bn_epsilon", 1e-3))
+    g = jnp.asarray(node.params["bn_gamma"], jnp.float32)
+    b = jnp.asarray(node.params["bn_beta"], jnp.float32)
+    m = jnp.asarray(node.params["bn_mean"], jnp.float32)
+    v = jnp.asarray(node.params["bn_variance"], jnp.float32)
+    scale = g * jax.lax.rsqrt(v + eps)
+    offset = b - m * scale
+    return scale.astype(out_dtype), offset.astype(out_dtype)
+
+
+def _epilogue(node: Node, y, ctx: RunCtx):
+    """bias -> BN -> activation, matching the reference shader epilogue order
+    (bias add then BN then activation, conv2dGL.cpp:815-833)."""
+    if "bias" in node.params and node.attr("use_bias", True):
+        y = y + jnp.asarray(node.params["bias"], y.dtype)
+    if node.attr("use_batchnorm", False) and "bn_gamma" in node.params:
+        scale, offset = bn_scale_offset(node, y.dtype)
+        y = y * scale + offset
+    return apply_activation(y, node.attr("activation", "linear"), float(node.attr("leaky_alpha", 0.3)))
+
+
+def _conv_pads(node: Node):
+    k = int(node.attr("kernel_size"))
+    return padding_offsets(node.attr("padding", "same"), k)
+
+
+@register("Conv2D", "Convolution")
+class Conv2D(OpDef):
+    """2D convolution with fused bias/BN/activation epilogue.
+
+    Shape transform mirrors Conv2DLayer::getOutputScaleDimAdjustment
+    (conv2d.cpp:162-174); equivalently out = floor((H+padT+padB-k)/s)+1.
+    """
+
+    def infer(self, node: Node, in_specs: Sequence[TensorSpec]) -> TensorSpec:
+        s = in_specs[0]
+        k, st = int(node.attr("kernel_size")), int(node.attr("stride", 1))
+        t_pad, b_pad, l_pad, r_pad = _conv_pads(node)
+        if k % 2 != 0:
+            tr = 1 + (t_pad + b_pad - k) / st
+        else:
+            tr = 1 + (t_pad + b_pad - 1 - k) / st
+        t = Transform(scale_w=1 / st, scale_h=1 / st, translate_w=tr, translate_h=tr)
+        h, w = transform_output_dims(t, in_specs)
+        return s.with_shape((s.n, h, w, int(node.attr("out_channels"))))
+
+    def run(self, node: Node, xs: List, ctx: RunCtx):
+        x = xs[0]
+        # Multi-input conv (reference use_multi_inputs, modelparser.cpp):
+        # extra inputs are channel-concatenated before the conv.
+        if len(xs) > 1:
+            x = jnp.concatenate(xs, axis=-1)
+        st = int(node.attr("stride", 1))
+        t, b, l, r = _conv_pads(node)
+        w = get_weight(node, compute_dtype=x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.asarray(w, x.dtype),
+            window_strides=(st, st),
+            padding=((t, b), (l, r)),
+            dimension_numbers=_DN,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return _epilogue(node, y, ctx)
+
+    def flops(self, node: Node, in_specs: Sequence[TensorSpec]) -> int:
+        o = self.infer(node, in_specs)
+        k = int(node.attr("kernel_size"))
+        cin = in_specs[0].c * (len(in_specs) if len(in_specs) > 1 else 1)
+        return 2 * o.n * o.h * o.w * k * k * cin * o.c
+
+
+@register("SeparableConv2D", "DepthwiseConv2D")
+class SeparableConv2D(OpDef):
+    """Depthwise convolution (with channel multiplier).
+
+    Reference: separableconvolution.cpp (depthwise weights HWC(M), JSON
+    field depthwise_weights). Implemented via feature_group_count=C.
+    Weight layout: HWIO with I=1, O=C*multiplier.
+    """
+
+    def infer(self, node: Node, in_specs: Sequence[TensorSpec]) -> TensorSpec:
+        s = in_specs[0]
+        k, st = int(node.attr("kernel_size")), int(node.attr("stride", 1))
+        t_pad, b_pad, _, _ = _conv_pads(node)
+        if k % 2 != 0:
+            tr = 1 + (t_pad + b_pad - k) / st
+        else:
+            tr = 1 + (t_pad + b_pad - 1 - k) / st
+        t = Transform(scale_w=1 / st, scale_h=1 / st, translate_w=tr, translate_h=tr)
+        h, w = transform_output_dims(t, in_specs)
+        mult = int(node.attr("multiplier", 1))
+        return s.with_shape((s.n, h, w, s.c * mult))
+
+    def run(self, node: Node, xs: List, ctx: RunCtx):
+        x = xs[0]
+        st = int(node.attr("stride", 1))
+        t, b, l, r = _conv_pads(node)
+        w = get_weight(node, compute_dtype=x.dtype)  # (kh, kw, 1, C*mult)
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.asarray(w, x.dtype),
+            window_strides=(st, st),
+            padding=((t, b), (l, r)),
+            dimension_numbers=_DN,
+            feature_group_count=x.shape[-1],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return _epilogue(node, y, ctx)
+
+    def flops(self, node: Node, in_specs: Sequence[TensorSpec]) -> int:
+        o = self.infer(node, in_specs)
+        k = int(node.attr("kernel_size"))
+        return 2 * o.n * o.h * o.w * k * k * o.c
+
+
+@register("Conv2DTranspose", "Deconvolution")
+class Conv2DTranspose(OpDef):
+    """Transposed convolution.
+
+    Shape transform mirrors Conv2DTransposeLayerGl::getOutputScaleDimAdjustment
+    (deconv2dGL.cpp:346-355): out = s*H ("same") or s*H + (k - s) otherwise.
+    Weight layout: HWIO (I = input channels, O = output channels).
+    """
+
+    def infer(self, node: Node, in_specs: Sequence[TensorSpec]) -> TensorSpec:
+        s = in_specs[0]
+        k, st = int(node.attr("kernel_size")), int(node.attr("stride", 1))
+        same = is_same_padding(node.attr("padding", "same"))
+        tr = 0.0 if same else float(k - st)
+        t = Transform(scale_w=float(st), scale_h=float(st), translate_w=tr, translate_h=tr)
+        h, w = transform_output_dims(t, in_specs)
+        return s.with_shape((s.n, h, w, int(node.attr("out_channels"))))
+
+    def run(self, node: Node, xs: List, ctx: RunCtx):
+        x = xs[0]
+        st = int(node.attr("stride", 1))
+        same = is_same_padding(node.attr("padding", "same"))
+        w = get_weight(node, compute_dtype=x.dtype)
+        # Keras/torch deconv semantics = gradient-of-conv, i.e. the kernel is
+        # spatially flipped relative to lax.conv_transpose's forward-kernel
+        # convention (transpose_kernel=False); flip here so HWIO weights
+        # converted from Keras/ONNX produce identical results.
+        w = jnp.flip(jnp.asarray(w, x.dtype), axis=(0, 1))
+        y = jax.lax.conv_transpose(
+            x,
+            w,
+            strides=(st, st),
+            padding="SAME" if same else "VALID",
+            dimension_numbers=_DN,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return _epilogue(node, y, ctx)
+
+    def flops(self, node: Node, in_specs: Sequence[TensorSpec]) -> int:
+        s = in_specs[0]
+        k = int(node.attr("kernel_size"))
+        return 2 * s.n * s.h * s.w * k * k * s.c * int(node.attr("out_channels"))

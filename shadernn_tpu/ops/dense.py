@@ -1,0 +1,47 @@
+"""Dense (fully-connected) layer.
+
+Reference: core/src/ic2/denselayer.cpp (Eigen matvec + activation on CPU,
+or compute-shader shadertemplate_cs_dense.glsl). Here it's a jnp matmul the
+MXU executes; weight layout (in_features, units) matches the reference's
+JSON `weights.kernel` row-major [input x units] stream
+(modelparser.cpp getDenseLayer).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+
+from shadernn_tpu.graph.ir import Node, TensorSpec
+from shadernn_tpu.ops.common import apply_activation
+from shadernn_tpu.ops.conv import get_weight
+from shadernn_tpu.ops.registry import OpDef, RunCtx, register
+
+
+@register("Dense", "FullyConnected", "InnerProduct")
+class Dense(OpDef):
+    def infer(self, node: Node, in_specs: Sequence[TensorSpec]) -> TensorSpec:
+        s = in_specs[0]
+        units = int(node.attr("units"))
+        return s.with_shape((s.n, units))
+
+    def run(self, node: Node, xs: List, ctx: RunCtx):
+        x = xs[0]
+        if x.ndim > 2:
+            x = x.reshape(x.shape[0], -1)
+        w = get_weight(node, compute_dtype=x.dtype)  # (in, units)
+        y = jnp.dot(x, jnp.asarray(w, x.dtype), preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype)
+        if "bias" in node.params and node.attr("use_bias", True):
+            y = y + jnp.asarray(node.params["bias"], y.dtype)
+        return apply_activation(
+            y, node.attr("activation", "linear"), float(node.attr("leaky_alpha", 0.3))
+        )
+
+    def flops(self, node: Node, in_specs: Sequence[TensorSpec]) -> int:
+        s = in_specs[0]
+        feat = 1
+        for d in s.shape[1:]:
+            feat *= d
+        return 2 * s.n * feat * int(node.attr("units"))

@@ -1,0 +1,2 @@
+from shadernn_tpu.utils.logging import get_logger, log_every_n_sec  # noqa: F401
+from shadernn_tpu.utils.timer import ScopedTimer, Timer, TimingStats  # noqa: F401
