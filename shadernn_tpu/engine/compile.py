@@ -124,6 +124,7 @@ class CompiledModel:
     params: Params
     step: Callable  # jitted (params, inputs) -> outputs
     input_specs: Dict[str, tuple]
+    forward: Optional[Callable] = None  # unjitted forward, for bench wrappers
 
     def __call__(self, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         return self.step(self.params, inputs)
@@ -165,4 +166,4 @@ def compile_graph(
     input_specs = {
         n: graph.nodes[n].out_spec.shape for n in graph.input_names
     }
-    return CompiledModel(graph, options, params, step, input_specs)
+    return CompiledModel(graph, options, params, step, input_specs, forward)

@@ -108,6 +108,53 @@ class Engine:
         logits = self.run_single(x)
         return np.asarray(jnp.argmax(logits, axis=-1))
 
+    def device_benchmark(
+        self, inputs: Dict[str, np.ndarray], iters: int = 50, repeats: int = 3
+    ) -> dict:
+        """True device throughput, immune to host<->device link latency.
+
+        Runs `iters` forward passes chained inside one jitted
+        `lax.fori_loop` (inputs perturbed per-iteration so XLA cannot CSE
+        them away), reduces every output to one scalar, and fetches only
+        that scalar — so the wall time is device compute, not transfer.
+        Needed because over remote-tunnel PJRT transports,
+        `block_until_ready` can return before compute finishes and big
+        fetches are link-bandwidth-bound.
+        """
+        import jax.numpy as jnp
+        from jax import lax
+
+        forward = self.model.forward
+        assert forward is not None
+
+        def loop_fn(params, xs):
+            def body(i, acc):
+                eps = (i.astype(jnp.float32) + 1.0) * 1e-6
+                outs = forward(params, {k: v * (1.0 + eps) for k, v in xs.items()})
+                return acc + sum(
+                    jnp.sum(o).astype(jnp.float32)
+                    for o in jax.tree.leaves(outs)
+                )
+
+            return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        looped = jax.jit(loop_fn)
+        dev_inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        float(looped(self.model.params, dev_inputs))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = __import__("time").perf_counter()
+            float(looped(self.model.params, dev_inputs))
+            best = min(best, __import__("time").perf_counter() - t0)
+        batch = next(iter(dev_inputs.values())).shape[0]
+        per_iter = best / iters
+        return {
+            "mean_ms": 1e3 * per_iter,
+            "frames_per_sec": batch / per_iter,
+            "iters": iters,
+            "batch": batch,
+        }
+
     # -- reporting ---------------------------------------------------------
     def time_report(self) -> str:
         return self.stats.report(warmup=self.options.warmup_loops)

@@ -46,6 +46,14 @@ def sharding_plan(
     """PartitionSpec per param leaf, keyed like the params pytree."""
     plan: Dict[str, Dict[str, P]] = {}
     tp = opts.model
+    # jax 0.9.0 GSPMD miscompiles a convolution whose lhs is spatially
+    # sharded AND whose rhs is output-feature sharded (verified minimal
+    # repro; pure-SP and pure-TP are both correct). Until the explicit
+    # shard_map halo-conv path owns SP, keep weights replicated when the
+    # spatial axis is active — TP then costs weight memory but stays
+    # correct.
+    if opts.spatial > 1:
+        tp = 1
     for n in graph.nodes.values():
         if not n.params:
             continue
@@ -112,4 +120,4 @@ def shard_compiled(
         donate_argnums=(1,) if options.donate_input else (),
     )
     input_specs = {n: graph.nodes[n].out_spec.shape for n in graph.input_names}
-    return CompiledModel(graph, options, params, step, input_specs)
+    return CompiledModel(graph, options, params, step, input_specs, forward)
