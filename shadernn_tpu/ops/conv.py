@@ -78,6 +78,60 @@ def _conv_pads(node: Node):
     return padding_offsets(node.attr("padding", "same"), k)
 
 
+def _interpret_mode() -> bool:
+    """Pallas kernels run compiled on TPU, interpreted elsewhere (CPU CI)."""
+    return jax.default_backend() != "tpu"
+
+
+def epilogue_scale_offset(node: Node):
+    """Fold int8 dequant scale + bias + BatchNorm into one per-output-channel
+    (scale, offset) pair: y = act(acc * scale + offset). Matches the order of
+    the reference shader epilogue (bias, then BN — conv2dGL.cpp:815-833)."""
+    if "weight_q" in node.params:
+        o = node.params["weight_q"].shape[-1]
+        scale = jnp.asarray(node.params["weight_scale"], jnp.float32).reshape(o)
+    else:
+        o = node.params["weight"].shape[-1]
+        scale = jnp.ones((o,), jnp.float32)
+    offset = jnp.zeros((o,), jnp.float32)
+    if "bias" in node.params and node.attr("use_bias", True):
+        offset = jnp.asarray(node.params["bias"], jnp.float32)
+    if node.attr("use_batchnorm", False) and "bn_gamma" in node.params:
+        bn_s, bn_o = bn_scale_offset(node, jnp.float32)
+        scale = scale * bn_s
+        offset = offset * bn_s + bn_o
+    return scale, offset
+
+
+def _conv_run_pallas(node: Node, x, ctx: RunCtx):
+    """PALLAS path of Conv2D: NHCW implicit-GEMM kernel with the fused
+    dequant+bias+BN+activation epilogue (shadernn_tpu/kernels/conv_pallas.py)."""
+    from shadernn_tpu.kernels.conv_pallas import conv2d_pallas_nhwc
+
+    st = int(node.attr("stride", 1))
+    pads = _conv_pads(node)
+    scale, offset = epilogue_scale_offset(node)
+    if "weight_q" in node.params:
+        w = jnp.asarray(node.params["weight_q"])  # int8 HWIO
+    else:
+        w = jnp.asarray(node.params["weight"], x.dtype)
+    return conv2d_pallas_nhwc(
+        x, w, scale, offset,
+        stride=st, pads=pads,
+        activation=node.attr("activation", "linear"),
+        alpha=float(node.attr("leaky_alpha", 0.3)),
+        interpret=_interpret_mode(),
+    )
+
+
+def pallas_conv_supported(node: Node, x_shape) -> bool:
+    k = int(node.attr("kernel_size"))
+    st = int(node.attr("stride", 1))
+    c = x_shape[-1]
+    o = int(node.attr("out_channels"))
+    return st in (1, 2) and c <= 128 and o <= 128 and k * k * c <= 4096
+
+
 @register("Conv2D", "Convolution")
 class Conv2D(OpDef):
     """2D convolution with fused bias/BN/activation epilogue.
@@ -104,6 +158,10 @@ class Conv2D(OpDef):
         # extra inputs are channel-concatenated before the conv.
         if len(xs) > 1:
             x = jnp.concatenate(xs, axis=-1)
+        from shadernn_tpu.config import BackendKind
+
+        if ctx.backend == BackendKind.PALLAS and pallas_conv_supported(node, x.shape):
+            return _conv_run_pallas(node, x, ctx)
         st = int(node.attr("stride", 1))
         t, b, l, r = _conv_pads(node)
         w = get_weight(node, compute_dtype=x.dtype)

@@ -27,9 +27,27 @@ class Dense(OpDef):
         return s.with_shape((s.n, units))
 
     def run(self, node: Node, xs: List, ctx: RunCtx):
+        from shadernn_tpu.config import BackendKind
+
         x = xs[0]
         if x.ndim > 2:
             x = x.reshape(x.shape[0], -1)
+        if ctx.backend == BackendKind.PALLAS:
+            from shadernn_tpu.kernels.matmul_pallas import fused_matmul
+            from shadernn_tpu.ops.conv import _interpret_mode, epilogue_scale_offset
+
+            scale, offset = epilogue_scale_offset(node)
+            w = (
+                jnp.asarray(node.params["weight_q"])
+                if "weight_q" in node.params
+                else jnp.asarray(node.params["weight"], x.dtype)
+            )
+            return fused_matmul(
+                x, w, scale, offset,
+                activation=node.attr("activation", "linear"),
+                alpha=float(node.attr("leaky_alpha", 0.3)),
+                interpret=_interpret_mode(),
+            )
         w = get_weight(node, compute_dtype=x.dtype)  # (in, units)
         y = jnp.dot(x, jnp.asarray(w, x.dtype), preferred_element_type=jnp.float32)
         y = y.astype(x.dtype)
