@@ -85,7 +85,13 @@ def build_forward(
     act_dtype = options.precision.activation_dtype
 
     def forward(params: Params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-        env: Dict[str, jax.Array] = {}
+        from shadernn_tpu.kernels.conv_pallas import HaloedValue, from_haloed
+        from shadernn_tpu.ops.conv import conv_run_pallas_chain, pallas_chain_supported
+
+        def nhwc(v):
+            return from_haloed(v) if isinstance(v, HaloedValue) else v
+
+        env: Dict[str, object] = {}
         for node in order:
             if node.op == "InputLayer":
                 x = inputs[node.name]
@@ -98,11 +104,26 @@ def build_forward(
                 backend=options.backend_for(node.name),
                 sharding=options.sharding,
             )
+            # Haloed NHCW chain: consecutive stride-1 pallas convs exchange
+            # activations in the margin-carrying layout with zero glue
+            # copies (conv chains are the hot path of every zoo model).
+            if (
+                node.op == "Conv2D"
+                and ctx.backend == BackendKind.PALLAS
+                and len(xs) == 1
+                and options.sharding.total_devices == 1
+                and pallas_chain_supported(
+                    node, graph.nodes[node.inputs[0]].out_spec.c
+                )
+            ):
+                env[node.name] = conv_run_pallas_chain(view, xs[0], ctx)
+                continue
+            xs = [nhwc(v) for v in xs]
             env[node.name] = get_op(node.op).run(view, xs, ctx)
-        outs = {o: env[o].astype(jnp.float32) for o in graph.output_names}
+        outs = {o: nhwc(env[o]).astype(jnp.float32) for o in graph.output_names}
         if options.dump_outputs:
             outs["__dumps__"] = {
-                n.name: env[n.name].astype(jnp.float32)
+                n.name: nhwc(env[n.name]).astype(jnp.float32)
                 for n in order
                 if n.op != "InputLayer"
             }

@@ -132,6 +132,43 @@ def pallas_conv_supported(node: Node, x_shape) -> bool:
     return st in (1, 2) and c <= 128 and o <= 128 and k * k * c <= 4096
 
 
+def pallas_chain_supported(node: Node, in_channels: int) -> bool:
+    """Can this conv run in the haloed NHCW chain format (zero glue)?"""
+    from shadernn_tpu.kernels.conv_pallas import MH, ML
+
+    if int(node.attr("stride", 1)) != 1:
+        return False
+    k = int(node.attr("kernel_size"))
+    t, b, l, r = _conv_pads(node)
+    o = int(node.attr("out_channels"))
+    return (
+        t <= MH and l <= ML and b <= 9 and r <= 8
+        and in_channels <= 128 and o <= 128 and k * k * in_channels <= 4096
+    )
+
+
+def conv_run_pallas_chain(node: Node, v, ctx: RunCtx):
+    """Haloed-chain path: consumes NHWC or HaloedValue, returns HaloedValue."""
+    from shadernn_tpu.kernels.conv_pallas import (
+        HaloedValue, fused_conv2d_haloed, to_haloed,
+    )
+
+    if not isinstance(v, HaloedValue):
+        v = to_haloed(v)
+    scale, offset = epilogue_scale_offset(node)
+    if "weight_q" in node.params:
+        w = jnp.asarray(node.params["weight_q"])
+    else:
+        w = jnp.asarray(node.params["weight"], v.arr.dtype)
+    return fused_conv2d_haloed(
+        v, w, scale, offset,
+        stride=1, pads=_conv_pads(node),
+        activation=node.attr("activation", "linear"),
+        alpha=float(node.attr("leaky_alpha", 0.3)),
+        interpret=_interpret_mode(),
+    )
+
+
 @register("Conv2D", "Convolution")
 class Conv2D(OpDef):
     """2D convolution with fused bias/BN/activation epilogue.
