@@ -1,0 +1,117 @@
+"""Image subsystem + continuous batching + profiler tests."""
+
+import numpy as np
+import pytest
+
+from shadernn_tpu.config import EngineOptions
+from shadernn_tpu.engine.engine import Engine
+from shadernn_tpu.engine.streaming import StreamingEngine
+from shadernn_tpu.image.color import ColorFormat, nv12_to_rgb, rgb_to_y
+from shadernn_tpu.image.image import Image, load_and_preprocess
+from shadernn_tpu.image.ingest import ingest_frames, nv12_to_rgb_device
+from shadernn_tpu.models import build_model
+
+
+def test_color_roundtrip(rng):
+    rgb = (rng.random((8, 10, 3)) * 255).astype(np.uint8)
+    img = Image(rgb, ColorFormat.RGB8)
+    f = img.to_float()
+    assert f.pixels.dtype == np.float32 and f.pixels.max() <= 1.0
+    back = f.to_format(ColorFormat.RGB8)
+    assert np.abs(back.pixels.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_luma_matches_reference_coefficients():
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[..., 0] = 255  # pure red
+    y = Image(rgb, ColorFormat.RGB8).luma()
+    np.testing.assert_allclose(y.pixels, 0.299, atol=1e-3)
+
+
+def test_nv12_grey_roundtrip():
+    h, w = 8, 8
+    y_plane = np.full((h, w), 128, np.uint8)
+    uv = np.full((h // 2, w // 2, 2), 128, np.uint8)  # neutral chroma
+    data = np.concatenate([y_plane.reshape(-1), uv.reshape(-1)])
+    rgb = nv12_to_rgb(data, h, w)
+    # neutral chroma + mid luma -> grey
+    assert np.abs(rgb.astype(int) - rgb[0, 0, 0].astype(int)).max() <= 1
+    assert abs(int(rgb[0, 0, 0]) - 130) <= 3  # 1.164*(128-16) ~ 130
+
+
+def test_device_ingest_matches_host(rng):
+    frames = (rng.random((2, 12, 16, 3)) * 255).astype(np.uint8)
+    means, norms = (127.5, 127.5, 127.5), (1 / 127.5, 1 / 127.5, 1 / 127.5)
+    dev = np.asarray(
+        ingest_frames(frames, means=means, norms=norms, dtype_name="float32")
+    )
+    host = (frames.astype(np.float32) - 127.5) / 127.5
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_device_nv12(rng):
+    h, w = 8, 12
+    y_plane = (rng.random((1, h, w)) * 255).astype(np.uint8)
+    uv = (rng.random((1, h // 2, w // 2, 2)) * 255).astype(np.uint8)
+    dev = np.asarray(nv12_to_rgb_device(y_plane, uv))
+    data = np.concatenate([y_plane[0].reshape(-1), uv[0].reshape(-1)])
+    host = nv12_to_rgb(data, h, w)
+    assert np.abs(dev[0] - host.astype(np.float32)).max() <= 1.5
+
+
+def test_image_save_load_roundtrip(tmp_path, rng):
+    rgb = (rng.random((6, 7, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "t.png"
+    Image(rgb, ColorFormat.RGB8).save(str(p))
+    back = Image.load(str(p))
+    np.testing.assert_array_equal(back.pixels, rgb)
+
+
+def test_load_and_preprocess(tmp_path, rng):
+    rgb = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "in.png"
+    Image(rgb, ColorFormat.RGB8).save(str(p))
+    batch = load_and_preprocess(str(p), 10, 15, luma_only=True, batch=2)
+    assert batch.shape == (2, 10, 15, 1)
+    assert 0.0 <= batch.min() and batch.max() <= 1.0
+
+
+def test_streaming_continuous_batching(rng):
+    """Multi-stream frames through the batcher match single-shot results."""
+    g = build_model("espcn", h=16, w=24)
+    eng = Engine.from_graph(g, EngineOptions(batch_size=4))
+    frames = [rng.random((16, 24, 1), dtype=np.float32) for _ in range(10)]
+
+    # ground truth one-by-one
+    want = [np.asarray(eng.run_single(f[None]))[0] for f in frames]
+
+    svc = StreamingEngine(eng).start()
+    for i, f in enumerate(frames):
+        svc.submit(stream_id=i % 3, frame_id=i, data=f)
+    svc.stop(drain=True)
+
+    got = {}
+    while not svc.results.empty():
+        r = svc.results.get()
+        got[r.frame_id] = r.outputs[g.output_names[0]]
+    assert len(got) == len(frames)
+    for i in range(len(frames)):
+        np.testing.assert_allclose(got[i], want[i], atol=1e-4)
+    stats = svc.stats()
+    assert stats["frames_done"] == 10
+    assert stats["batches_run"] <= 10  # batching actually happened
+
+
+def test_profiler_table(rng):
+    from shadernn_tpu.utils.profiler import print_report, profile_layers
+
+    g = build_model("espcn", h=16, w=24)
+    eng = Engine.from_graph(g, EngineOptions())
+    profiles = profile_layers(
+        eng, {"input": rng.random((1, 16, 24, 1), dtype=np.float32)}, iters=3
+    )
+    assert len(profiles) == len(g.nodes) - 1  # input excluded
+    report = print_report(profiles)
+    assert "Total GPU runtime" in report and "conv_1" in report
+    conv2 = [p for p in profiles if p.name == "conv_2"][0]
+    assert conv2.flops > 0 and conv2.ms > 0
