@@ -1,0 +1,193 @@
+"""Pipeline parallelism: stage the layer DAG across devices.
+
+The reference executes its topologically-sorted RenderStages sequentially
+on one GPU (core.cpp:294-432); here the same stage list is cut into
+FLOP-balanced contiguous segments placed on different devices, with
+micro-batched frames streamed through (GPipe-style inference). JAX's
+async dispatch overlaps stage s of micro-batch i with stage s+1 of
+micro-batch i-1; inter-stage transfers ride ICI via device_put.
+
+This is the host-driven PP path (each stage is its own jitted program on
+its own device). It composes with DP/TP/SP inside a stage when stages are
+given sub-meshes instead of single devices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shadernn_tpu.config import EngineOptions
+from shadernn_tpu.graph.ir import Graph, Node
+from shadernn_tpu.ops.registry import RunCtx, get_op
+from shadernn_tpu.utils import get_logger
+
+logger = get_logger("snn_tpu.pipeline")
+
+
+@dataclasses.dataclass
+class Stage:
+    index: int
+    nodes: List[Node]
+    # graph values this stage consumes from earlier stages (node names)
+    consumes: List[str]
+    # values later stages (or the final output) need from this stage
+    produces: List[str]
+    flops: int
+    device: object = None
+    fn: object = None  # jitted env -> env
+    params: dict = None
+
+
+def split_stages(graph: Graph, num_stages: int) -> List[Stage]:
+    """Cut the topo order into contiguous, FLOP-balanced segments."""
+    order = [n for n in graph.toposort() if n.op != "InputLayer"]
+    flops = []
+    for n in order:
+        in_specs = [graph.nodes[i].out_spec for i in n.inputs]
+        try:
+            f = get_op(n.op).flops(n, in_specs)
+        except Exception:
+            f = 0
+        # floor per node so zero-flop ops still cost something to move
+        flops.append(max(f, sum(s.num_elements for s in in_specs)))
+    total = sum(flops)
+    num_stages = min(num_stages, len(order))
+    prefix = np.cumsum(flops)
+    # Quantile cuts (forced strictly increasing so we always get exactly
+    # num_stages contiguous, non-empty segments).
+    cuts: List[int] = []
+    for q in range(1, num_stages):
+        idx = int(np.searchsorted(prefix, total * q / num_stages)) + 1
+        lo = (cuts[-1] if cuts else 0) + 1
+        hi = len(order) - (num_stages - q)
+        cuts.append(int(np.clip(idx, lo, hi)))
+    bounds = [0] + cuts + [len(order)]
+
+    stages: List[Stage] = []
+    produced_by: Dict[str, int] = {n: -1 for n in graph.input_names}
+    for s in range(len(bounds) - 1):
+        seg = order[bounds[s] : bounds[s + 1]]
+        for n in seg:
+            produced_by[n.name] = s
+        stages.append(Stage(s, seg, [], [], sum(flops[bounds[s] : bounds[s + 1]])))
+
+    # dataflow across cuts
+    for s, stage in enumerate(stages):
+        needed = set()
+        for n in stage.nodes:
+            for i in n.inputs:
+                if produced_by[i] != s:
+                    needed.add(i)
+        stage.consumes = sorted(needed)
+    for s, stage in enumerate(stages):
+        later_needs = set()
+        for later in stages[s + 1 :]:
+            later_needs.update(later.consumes)
+        later_needs.update(graph.output_names)
+        stage.produces = sorted(
+            {n.name for n in stage.nodes} & later_needs
+        )
+    return stages
+
+
+class PipelinedEngine:
+    """Micro-batched pipelined inference over a stage-split graph."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        options: Optional[EngineOptions] = None,
+        devices: Optional[Sequence] = None,
+        num_stages: Optional[int] = None,
+        micro_batch: int = 1,
+    ):
+        from shadernn_tpu.engine.compile import _NodeView, extract_params
+
+        self.graph = graph
+        self.options = options or EngineOptions()
+        devices = list(devices if devices is not None else jax.devices())
+        num_stages = num_stages or len(devices)
+        assert num_stages <= len(devices)
+        self.micro_batch = micro_batch
+        if any(n.out_spec is None for n in graph.nodes.values()):
+            graph.infer_shapes(batch_size=micro_batch)
+        self.stages = split_stages(graph, num_stages)
+        all_params = extract_params(graph)
+        act_dtype = self.options.precision.activation_dtype
+
+        for stage, dev in zip(self.stages, devices):
+            stage.device = dev
+            stage.params = jax.device_put(
+                {k: v for k, v in all_params.items()
+                 if k in {n.name for n in stage.nodes}},
+                dev,
+            )
+
+            def make_fn(stage):
+                nodes = stage.nodes
+
+                def run(params, env):
+                    env = dict(env)
+                    for node in nodes:
+                        view = _NodeView(node, params.get(node.name, {}))
+                        xs = [env[i] for i in node.inputs]
+                        ctx = RunCtx(
+                            precision=self.options.precision,
+                            backend=self.options.backend_for(node.name),
+                            sharding=self.options.sharding,
+                        )
+                        env[node.name] = get_op(node.op).run(view, xs, ctx)
+                    return {k: env[k] for k in stage.produces}
+
+                return jax.jit(run, device=dev)
+
+            stage.fn = make_fn(stage)
+        logger.info(
+            "pipeline: %d stages, flops %s",
+            len(self.stages),
+            [f"{s.flops/1e6:.1f}M@{s.device}" for s in self.stages],
+        )
+
+    def run(self, inputs: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        """Split the batch into micro-batches, stream them through the
+        stages (async dispatch overlaps stages across micro-batches), and
+        re-assemble the global batch."""
+        batch = next(iter(inputs.values())).shape[0]
+        mb = self.micro_batch
+        assert batch % mb == 0, (batch, mb)
+        act_dtype = self.options.precision.activation_dtype
+
+        # dispatch all micro-batches through all stages without blocking
+        inflight = []
+        for m in range(batch // mb):
+            env = {
+                k: jax.device_put(
+                    jnp.asarray(v[m * mb : (m + 1) * mb]).astype(act_dtype),
+                    self.stages[0].device,
+                )
+                for k, v in inputs.items()
+            }
+            for stage in self.stages:
+                missing = [k for k in stage.consumes if k not in env]
+                assert not missing, f"stage {stage.index} missing {missing}"
+                staged = {
+                    k: jax.device_put(env[k], stage.device)
+                    for k in stage.consumes
+                }
+                outs = stage.fn(stage.params, staged)
+                env.update(outs)
+            inflight.append({o: env[o] for o in self.graph.output_names})
+
+        jax.block_until_ready(inflight)
+        return {
+            o: jnp.concatenate([e[o].astype(jnp.float32) for e in inflight])
+            for o in self.graph.output_names
+        }
+
+    def stage_devices(self) -> List[str]:
+        return [str(s.device) for s in self.stages]

@@ -1,0 +1,68 @@
+"""Pipeline-parallel inference tests on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+
+import oracle
+from shadernn_tpu.config import EngineOptions
+from shadernn_tpu.engine.compile import compile_graph
+from shadernn_tpu.models import build_model
+from shadernn_tpu.parallel.pipeline import PipelinedEngine, split_stages
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_split_stages_balanced_and_complete():
+    g = build_model("resnet18")
+    stages = split_stages(g, 4)
+    assert len(stages) == 4
+    all_nodes = [n.name for s in stages for n in s.nodes]
+    assert len(all_nodes) == len(set(all_nodes)) == len(g.nodes) - 1
+    # final stage must produce the graph output
+    assert g.output_names[0] in stages[-1].produces
+    # rough balance: no stage owns more than 70% of flops
+    total = sum(s.flops for s in stages)
+    assert max(s.flops for s in stages) < 0.7 * total
+
+
+@pytest.mark.parametrize("model,kwargs,num_stages", [
+    ("espcn", {"h": 16, "w": 24}, 4),
+    ("resnet18", {}, 4),
+    ("styletransfer", {"h": 32, "w": 32, "num_res_blocks": 2}, 8),
+])
+def test_pipeline_matches_single_device(rng, model, kwargs, num_stages):
+    g = build_model(model, **kwargs)
+    spec = g.nodes[g.input_names[0]].out_spec
+    batch = 4
+    x = rng.random((batch, *spec.shape[1:]), dtype=np.float32)
+
+    single = compile_graph(build_model(model, **kwargs), EngineOptions(batch_size=batch))
+    want = np.asarray(single.run_single(x))
+
+    pipe = PipelinedEngine(
+        build_model(model, **kwargs), EngineOptions(), num_stages=num_stages,
+        micro_batch=2,
+    )
+    assert len(set(pipe.stage_devices())) == num_stages  # distinct devices
+    got = np.asarray(pipe.run({g.input_names[0]: x})[g.output_names[0]])
+    oracle.compare(got, want, 1e-4, f"pipeline-{model}")
+
+
+def test_pipeline_skip_connections(rng):
+    """U-Net's long skip concats cross stage boundaries."""
+    g = build_model("unet", h=32, w=32, base_filters=4, depth=2)
+    x = rng.random((2, 32, 32, 1), dtype=np.float32)
+    single = compile_graph(
+        build_model("unet", h=32, w=32, base_filters=4, depth=2),
+        EngineOptions(batch_size=2),
+    )
+    want = np.asarray(single.run_single(x))
+    pipe = PipelinedEngine(
+        build_model("unet", h=32, w=32, base_filters=4, depth=2),
+        EngineOptions(), num_stages=4, micro_batch=1,
+    )
+    got = np.asarray(pipe.run({"input": x})["head"])
+    oracle.compare(got, want, 1e-4, "pipeline-unet-skips")
