@@ -77,12 +77,14 @@ class _WeightStream:
 
 
 def _conv_weights(layer, stream, o, i, k, is_bin):
+    from shadernn_tpu.native import repack_oihw_to_hwio
+
     if is_bin:
         flat = stream.read(o * i * k * k)
     else:
         flat = np.asarray(layer["weights"]["kernel"], np.float32)
-    oihw = flat.reshape(o, i, k, k)
-    return np.ascontiguousarray(oihw.transpose(2, 3, 1, 0))  # -> HWIO
+    # native (C++) OIHW -> HWIO repack when libsnn_runtime is built
+    return repack_oihw_to_hwio(flat, o, i, k, k)
 
 
 def _bias(layer, stream, o, is_bin):
@@ -189,6 +191,8 @@ def parse_model_dict(model: dict, bin_file: Optional[BinaryIO] = None,
                 "use_bias": _as_bool(layer.get("useBias", "True"), True),
                 **_act_attrs(layer),
             }
+            from shadernn_tpu.native import repack_dw_to_hw1o
+
             o = out_planes or in_planes * mult
             if is_bin:
                 flat = stream.read(o * k * k)
@@ -197,9 +201,7 @@ def parse_model_dict(model: dict, bin_file: Optional[BinaryIO] = None,
                                             layer.get("weights", {}).get("kernel")),
                                   np.float32)
             # depthwise stream is per-output-channel kxk -> HW1O
-            params["weight"] = np.ascontiguousarray(
-                flat.reshape(o, k, k).transpose(1, 2, 0)[:, :, None, :]
-            )
+            params["weight"] = repack_dw_to_hw1o(flat, o, k, k)
             b = _bias(layer, stream, o, is_bin)
             if b is not None:
                 params["bias"] = b

@@ -25,6 +25,21 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Build the native runtime once if a toolchain is available, so the
+# native-vs-numpy parity tests run (they skip gracefully otherwise).
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_so = os.path.join(_repo, "shadernn_tpu", "lib", "libsnn_runtime.so")
+if not os.path.exists(_so):
+    import subprocess
+
+    try:
+        subprocess.run(
+            [os.path.join(_repo, "native", "build.sh")],
+            timeout=120, capture_output=True, check=False,
+        )
+    except Exception:
+        pass
+
 
 @pytest.fixture
 def rng():
