@@ -50,6 +50,7 @@ class BackendKind(enum.Enum):
 
     XLA = "xla"  # plain jax.numpy / lax ops, XLA fuses
     PALLAS = "pallas"  # hand-written Pallas kernel
+    AUTO = "auto"  # per-layer: Pallas where it wins (small-channel convs)
 
 
 @dataclasses.dataclass(frozen=True)

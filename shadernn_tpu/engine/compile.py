@@ -71,6 +71,32 @@ class _NodeView:
         return self._node.attr(key, default)
 
 
+# Channel threshold for the AUTO backend: below this, XLA's NHWC layout
+# pads C to 128 lanes and the custom NHCW Pallas kernel wins (measured:
+# 3.4x at C=16 on v5e); above, XLA's conv is competitive and supports
+# every stride/shape.
+AUTO_PALLAS_MAX_CHANNELS = 32
+
+
+def resolve_backend(node: Node, graph: Graph, options: EngineOptions) -> BackendKind:
+    """Per-node backend choice — the TPU analog of the reference picking
+    fragment vs compute shader per layer."""
+    configured = options.backend_for(node.name)
+    if configured != BackendKind.AUTO:
+        return configured
+    if node.op == "Conv2D" and len(node.inputs) == 1:
+        from shadernn_tpu.ops.conv import pallas_chain_supported
+
+        cin = graph.nodes[node.inputs[0]].out_spec.c
+        cout = int(node.attr("out_channels"))
+        if (
+            max(cin, cout) <= AUTO_PALLAS_MAX_CHANNELS
+            and pallas_chain_supported(node, cin)
+        ):
+            return BackendKind.PALLAS
+    return BackendKind.XLA
+
+
 def build_forward(
     graph: Graph, options: EngineOptions
 ) -> Callable[[Params, Dict[str, jax.Array]], Dict[str, jax.Array]]:
@@ -101,7 +127,7 @@ def build_forward(
             xs = [env[i] for i in node.inputs]
             ctx = RunCtx(
                 precision=options.precision,
-                backend=options.backend_for(node.name),
+                backend=resolve_backend(node, graph, options),
                 sharding=options.sharding,
             )
             # Haloed NHCW chain: consecutive stride-1 pallas convs exchange

@@ -164,12 +164,15 @@ class Engine:
         excluding the first `warmup_loops` (reference
         NUM_EXCLUDE_FIRST_LOOPS=5, inferenceProcessor.cpp:90)."""
         dev_inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        start_idx = self.stats.total.count
         for _ in range(loops):
             self.stats.total.start()
             outs = self.model(dev_inputs)
             jax.block_until_ready(outs)
             self.stats.total.stop()
-        t = self.stats.total.excluding_warmup(self.options.warmup_loops)
+        # this call's samples only; don't let warmup exclusion consume all
+        warmup = min(self.options.warmup_loops, max(loops - 1, 0))
+        t = self.stats.total.excluding_warmup(start_idx + warmup)
         batch = next(iter(dev_inputs.values())).shape[0]
         samples = sorted(t.samples)
         p50 = samples[len(samples) // 2] if samples else 0.0

@@ -132,13 +132,15 @@ class PipelinedEngine:
                 nodes = stage.nodes
 
                 def run(params, env):
+                    from shadernn_tpu.engine.compile import resolve_backend
+
                     env = dict(env)
                     for node in nodes:
                         view = _NodeView(node, params.get(node.name, {}))
                         xs = [env[i] for i in node.inputs]
                         ctx = RunCtx(
                             precision=self.options.precision,
-                            backend=self.options.backend_for(node.name),
+                            backend=resolve_backend(node, self.graph, self.options),
                             sharding=self.options.sharding,
                         )
                         env[node.name] = get_op(node.op).run(view, xs, ctx)

@@ -85,7 +85,7 @@ def _device_time(fn, args, iters: int = 20, repeats: int = 2) -> float:
 def profile_layers(engine, inputs: Dict[str, np.ndarray], iters: int = 20) -> List[LayerProfile]:
     """Measure every layer of a compiled engine separately, feeding each
     the real intermediate activations."""
-    from shadernn_tpu.engine.compile import _NodeView
+    from shadernn_tpu.engine.compile import _NodeView, resolve_backend
     from shadernn_tpu.ops.registry import RunCtx, get_op
 
     graph = engine.graph
@@ -102,7 +102,7 @@ def profile_layers(engine, inputs: Dict[str, np.ndarray], iters: int = 20) -> Li
         view = _NodeView(node, params.get(node.name, {}))
         ctx = RunCtx(
             precision=options.precision,
-            backend=options.backend_for(node.name),
+            backend=resolve_backend(node, graph, options),
             sharding=options.sharding,
         )
         op = get_op(node.op)
