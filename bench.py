@@ -24,13 +24,14 @@ REFERENCE_ESPCN_MS = 775.194  # docs/Developer-Guide/Benchmarking.md:25
 
 
 def bench_model(name: str, precision: str, batch: int, loops: int, log,
-                use_pallas: bool = False, **build_kwargs):
+                backend_name: str = "auto", **build_kwargs):
     import shadernn_tpu as snn
     from shadernn_tpu.models import build_model
 
     prec = {"fp32": snn.Precision.FP32, "bf16": snn.Precision.BF16,
             "int8": snn.Precision.INT8}[precision]
-    backend = snn.BackendKind.PALLAS if use_pallas else snn.BackendKind.XLA
+    backend = {"auto": snn.BackendKind.AUTO, "xla": snn.BackendKind.XLA,
+               "pallas": snn.BackendKind.PALLAS}[backend_name]
     graph = build_model(name, **build_kwargs)
     t0 = time.time()
     eng = snn.Engine.from_graph(
@@ -53,7 +54,7 @@ def main():
     ap.add_argument("--precision", default="bf16", choices=["fp32", "bf16", "int8"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--inner_loops", type=int, default=30)
-    ap.add_argument("--use_pallas", action="store_true")
+    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--all", action="store_true", help="bench every zoo model (extra lines to stderr)")
     args = ap.parse_args()
 
@@ -72,13 +73,13 @@ def main():
             if name == "unet":
                 kw = {"base_filters": 32}
             try:
-                bench_model(name, args.precision, args.batch, args.inner_loops, log, args.use_pallas, **kw)
+                bench_model(name, args.precision, args.batch, args.inner_loops, log, args.backend, **kw)
             except Exception as e:  # keep going; report the failure
                 log(f"{name}: FAILED {type(e).__name__}: {e}")
 
     # Headline: ESPCN 540p, per-chip frames/s.
     stats = bench_model(
-        args.model, args.precision, args.batch, args.inner_loops, log, args.use_pallas
+        args.model, args.precision, args.batch, args.inner_loops, log, args.backend
     )
     fps = stats["frames_per_sec"]
     print(

@@ -71,16 +71,18 @@ class _NodeView:
         return self._node.attr(key, default)
 
 
-# Channel threshold for the AUTO backend: below this, XLA's NHWC layout
-# pads C to 128 lanes and the custom NHCW Pallas kernel wins (measured:
-# 3.4x at C=16 on v5e); above, XLA's conv is competitive and supports
-# every stride/shape.
-AUTO_PALLAS_MAX_CHANNELS = 32
-
-
 def resolve_backend(node: Node, graph: Graph, options: EngineOptions) -> BackendKind:
     """Per-node backend choice — the TPU analog of the reference picking
-    fragment vs compute shader per layer."""
+    fragment vs compute shader per layer.
+
+    AUTO policy, calibrated on v5e measurements (bench --all, bf16 b8):
+    the NHCW Pallas kernel wins where XLA's 128-lane channel padding
+    dominates — small-channel convs with meaningful spatial kernels.
+    Measured: ESPCN (C<=16, k3/k5 chains) 3.2x faster; StyleTransfer
+    k9 stems at 32ch 1.8x faster; 1x1 convs and 32-channel k3 convs were
+    neutral-to-slower (kernel call + layout conversion overhead), so they
+    stay on XLA.
+    """
     configured = options.backend_for(node.name)
     if configured != BackendKind.AUTO:
         return configured
@@ -89,9 +91,10 @@ def resolve_backend(node: Node, graph: Graph, options: EngineOptions) -> Backend
 
         cin = graph.nodes[node.inputs[0]].out_spec.c
         cout = int(node.attr("out_channels"))
-        if (
-            max(cin, cout) <= AUTO_PALLAS_MAX_CHANNELS
-            and pallas_chain_supported(node, cin)
+        k = int(node.attr("kernel_size"))
+        wide = max(cin, cout)
+        if pallas_chain_supported(node, cin) and (
+            (k >= 5 and wide <= 32) or (2 <= k <= 4 and wide <= 16)
         ):
             return BackendKind.PALLAS
     return BackendKind.XLA

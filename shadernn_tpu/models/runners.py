@@ -59,8 +59,8 @@ RUNNERS = {
         means=(0.0,), norms=(1 / 255.0,),
     ),
     "spatialdenoise": RunnerConfig(
-        "unet", 1080, 1920, 1, means=(0.0,), norms=(1 / 255.0,), luma_only=True,
-        build_kwargs={"base_filters": 16, "depth": 3},
+        "spatialdenoise", 1080, 1920, 1, means=(0.0,), norms=(1 / 255.0,),
+        luma_only=True,
     ),
 }
 

@@ -38,7 +38,10 @@ def list_models():
 def _ensure_loaded():
     if _BUILDERS:
         return
-    from shadernn_tpu.models import espcn, mobilenetv2, resnet18, styletransfer, unet, yolov3_tiny
+    from shadernn_tpu.models import (
+        espcn, mobilenetv2, resnet18, spatialdenoise, styletransfer, unet,
+        yolov3_tiny,
+    )
 
     _BUILDERS.update(
         {
@@ -48,5 +51,6 @@ def _ensure_loaded():
             "unet": unet.build_unet,
             "styletransfer": styletransfer.build_style_transfer,
             "yolov3-tiny": yolov3_tiny.build_yolov3_tiny,
+            "spatialdenoise": spatialdenoise.build_spatial_denoise,
         }
     )
