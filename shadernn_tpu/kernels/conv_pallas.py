@@ -258,7 +258,8 @@ def _haloed_kernel(
     patch_ref,  # scratch (K, Wp)
     sem,
     *,
-    k: int,
+    kh: int,
+    kw: int,
     th: int,
     c: int,
     pt: int,
@@ -273,7 +274,7 @@ def _haloed_kernel(
     dequant: bool,
 ):
     i = pl.program_id(1)
-    rows = th + k - 1
+    rows = th + kh - 1
 
     def dma(slot, tile_idx):
         n = pl.program_id(0)
@@ -306,35 +307,55 @@ def _haloed_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
     lane_mask = ((lane >= ML) & (lane < ML + w_out)).astype(jnp.float32)
+    batched = patch_ref.shape[-1] == th * wp
 
-    for r in range(th):
-        jo = i * th + r  # output row index incl. margin
-        slab = xs[slot, r : r + k]  # (k, C, Wp)
-        for dx in range(k):
-            # patch[:, l] = slab[:, :, l + dx - pl]. Implemented as a
-            # lane-offset store (Mosaic has no bf16 rotate); the few stale
-            # lanes at the unwritten edge land inside the masked margins.
+    def store_patch(r, lane_base):
+        """Assemble row r's implicit-GEMM columns at patch lanes
+        [lane_base, lane_base + wp). Lane-offset stores (Mosaic has no
+        bf16 rotate); the few stale lanes at the unwritten edges land in
+        the masked margins."""
+        slab = xs[slot, r : r + kh]  # (kh, C, Wp)
+        for dx in range(kw):
             s = pl_ - dx
-            base = dx * k * c
+            base = dx * kh * c
             if s >= 0:
-                patch_ref[base : base + k * c, s:wp] = slab[:, :, : wp - s].reshape(
-                    k * c, wp - s
+                patch_ref[base : base + kh * c, lane_base + s : lane_base + wp] = (
+                    slab[:, :, : wp - s].reshape(kh * c, wp - s)
                 )
             else:
-                patch_ref[base : base + k * c, : wp + s] = slab[:, :, -s:wp].reshape(
-                    k * c, wp + s
+                patch_ref[base : base + kh * c, lane_base : lane_base + wp + s] = (
+                    slab[:, :, -s:wp].reshape(kh * c, wp + s)
                 )
+
+    def epilogue(acc, r):
+        jo = i * th + r
         row_mask = ((jo >= MH) & (jo < MH + h_out)).astype(jnp.float32)
-        acc = jax.lax.dot_general(
-            wmat,
-            patch_ref[...],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         y = acc * scale + offset
         y = apply_activation(y, activation, alpha)
         y = y * (row_mask * lane_mask)
-        out_ref[0, r] = y.astype(out_ref.dtype)
+        return y.astype(out_ref.dtype)
+
+    if batched:
+        # One MXU dot for the whole tile: patch lanes = th concatenated
+        # rows, amortizing per-dot overhead 8x (VMEM permitting).
+        for r in range(th):
+            store_patch(r, r * wp)
+        acc = jax.lax.dot_general(
+            wmat, patch_ref[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (O, th*wp)
+        for r in range(th):
+            out_ref[0, r] = epilogue(acc[:, r * wp : (r + 1) * wp], r)
+    else:
+        for r in range(th):
+            store_patch(r, 0)
+            acc = jax.lax.dot_general(
+                wmat, patch_ref[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0, r] = epilogue(acc, r)
 
 
 MB = 16  # bottom row margin (covers DMA window overhang: pb + Th - 1)
@@ -384,7 +405,7 @@ def from_haloed(hv: HaloedValue):
 
 def fused_conv2d_haloed(
     hv: HaloedValue,
-    w_hwio,  # (k, k, C, O) float or int8
+    w_hwio,  # (kh, kw, C, O) float or int8 — rectangular kernels supported
     scale,  # (O,)
     offset,  # (O,)
     *,
@@ -402,7 +423,7 @@ def fused_conv2d_haloed(
     assert pt <= MH and pl_ <= ML and pb <= 9 and pr <= 8, pads
     x = hv.arr
     n, hp_in, c_pad, wp = x.shape
-    k = w_hwio.shape[0]
+    kh, kw = w_hwio.shape[0], w_hwio.shape[1]
     o = w_hwio.shape[3]
     assert w_hwio.shape[2] == hv.c
 
@@ -420,10 +441,10 @@ def fused_conv2d_haloed(
     offset = jnp.concatenate(
         [offset.reshape(-1).astype(jnp.float32), jnp.zeros((o_pad - o,), jnp.float32)]
     )
-    wmat = jnp.transpose(w_hwio, (1, 0, 2, 3)).reshape(k * k * c_pad, o_pad)
+    wmat = jnp.transpose(w_hwio, (1, 0, 2, 3)).reshape(kw * kh * c_pad, o_pad)
 
-    h_out = hv.h + pt + pb - k + 1
-    w_out = hv.w + pl_ + pr - k + 1
+    h_out = hv.h + pt + pb - kh + 1
+    w_out = hv.w + pl_ + pr - kw + 1
     th = block_rows
     assert th == MH, "tile height must equal the top margin"
     hp_out = MH + h_out + MB
@@ -432,9 +453,9 @@ def fused_conv2d_haloed(
 
     kernel = functools.partial(
         _haloed_kernel,
-        k=k, th=th, c=c_pad, pt=pt, pl_=pl_, h_out=h_out, w_out=w_out,
-        wp=wp, activation=activation, alpha=alpha, n_h_tiles=n_h_tiles,
-        hp_in=hp_in, dequant=w_hwio.dtype == jnp.int8,
+        kh=kh, kw=kw, th=th, c=c_pad, pt=pt, pl_=pl_, h_out=h_out,
+        w_out=w_out, wp=wp, activation=activation, alpha=alpha,
+        n_h_tiles=n_h_tiles, hp_in=hp_in, dequant=w_hwio.dtype == jnp.int8,
     )
     out = pl.pallas_call(
         kernel,
@@ -451,15 +472,27 @@ def fused_conv2d_haloed(
         ),
         out_shape=jax.ShapeDtypeStruct((n, hp_out, o_pad, wp), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th + k - 1, c_pad, wp), x.dtype),
-            pltpu.VMEM((k * k * c_pad, wp), x.dtype),
+            pltpu.VMEM((2, th + kh - 1, c_pad, wp), x.dtype),
+            # Row-batched patch (one dot per tile) is plumbed but measured
+            # neutral-to-slower on v5e (the kernel is DMA-bound, not
+            # dot-bound), so it stays disabled; flip the 0 to a VMEM byte
+            # budget (e.g. 6 MiB) to re-enable.
+            pltpu.VMEM(
+                (
+                    kw * kh * c_pad,
+                    th * wp
+                    if kw * kh * c_pad * th * wp * np.dtype(x.dtype).itemsize <= 0
+                    else wp,
+                ),
+                x.dtype,
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * h_out * wp * k * k * c_pad * o_pad,
+            flops=2 * n * h_out * wp * kh * kw * c_pad * o_pad,
             bytes_accessed=x.size * x.dtype.itemsize
             + n * hp_out * o_pad * wp * x.dtype.itemsize,
             transcendentals=0,
@@ -467,6 +500,40 @@ def fused_conv2d_haloed(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(x, wmat, scale.reshape(o_pad, 1), offset.reshape(o_pad, 1))
     return HaloedValue(out, h_out, w_out, o)
+
+
+def to_haloed_rowpacked(x_nhwc, kh: int, pt: int, pb: int) -> HaloedValue:
+    """Row-packing for single-channel inputs: fold the kh vertical taps
+    into the channel dimension, so a kh x kw conv on C=1 becomes a 1 x kw
+    conv on C=kh.
+
+    Why: the kernel's dot is K-pass bound and C pads to the 16-sublane
+    tile, so C=1 inflates K by 16x (ESPCN's 5x5 stem: K=400 instead of
+    25). Packing X'[h, dy, w] = x[h + dy - pt, w] gives K = kw*16 with
+    kh<=16 taps occupying the once-wasted slots (5x5 stem: K=80 — 5x
+    fewer MXU passes). Vertical padding is baked into X', so the packed
+    conv runs with pads (0, 0, pl, pr).
+    """
+    n, h, w, c = x_nhwc.shape
+    assert c == 1, "row packing is for single-channel inputs"
+    h_out = h + pt + pb - kh + 1
+    ct = _c_tile(x_nhwc.dtype)
+    c_pad = _round_up(kh, ct)
+    wp = _round_up(ML + w + 8, 128)
+    # Build straight into NHCW: stacking the dy-shifts on axis 2 IS the
+    # channel dimension — no transposes (a minor-dim-5 transpose is a slow
+    # path on TPU).
+    y = jnp.pad(x_nhwc[..., 0], ((0, 0), (pt, pb), (ML, wp - ML - w)))
+    packed = jnp.stack(
+        [y[:, dy : dy + h_out] for dy in range(kh)], axis=2
+    )  # (N, h_out, kh, Wp)
+    packed = jnp.pad(packed, ((0, 0), (MH, MB), (0, c_pad - kh), (0, 0)))
+    return HaloedValue(packed, h_out, w, kh)
+
+
+def rowpack_weights(w_hwio):
+    """(kh, kw, 1, O) -> (1, kw, kh, O): w'[0, dx, dy, o] = w[dy, dx, 0, o]."""
+    return jnp.transpose(w_hwio[:, :, 0, :], (1, 0, 2))[None]
 
 
 # ---------------------------------------------------------------------------

@@ -150,19 +150,35 @@ def pallas_chain_supported(node: Node, in_channels: int) -> bool:
 def conv_run_pallas_chain(node: Node, v, ctx: RunCtx):
     """Haloed-chain path: consumes NHWC or HaloedValue, returns HaloedValue."""
     from shadernn_tpu.kernels.conv_pallas import (
-        HaloedValue, fused_conv2d_haloed, to_haloed,
+        HaloedValue, fused_conv2d_haloed, rowpack_weights, to_haloed,
+        to_haloed_rowpacked,
     )
 
-    if not isinstance(v, HaloedValue):
-        v = to_haloed(v)
     scale, offset = epilogue_scale_offset(node)
     if "weight_q" in node.params:
         w = jnp.asarray(node.params["weight_q"])
     else:
+        w = None  # cast after we know the activation dtype
+    pads = _conv_pads(node)
+    k = int(node.attr("kernel_size"))
+    if not isinstance(v, HaloedValue):
+        if w is None:
+            w = jnp.asarray(node.params["weight"], v.dtype)
+        if v.shape[-1] == 1 and 1 < k <= 16:
+            # Single-channel chain head (e.g. ESPCN's 5x5 stem): fold the
+            # vertical taps into C — 5x fewer MXU K-passes (see
+            # to_haloed_rowpacked).
+            pt, pb, pl_, pr = pads
+            v = to_haloed_rowpacked(v, k, pt, pb)
+            w = rowpack_weights(w)
+            pads = (0, 0, pl_, pr)
+        else:
+            v = to_haloed(v)
+    elif w is None:
         w = jnp.asarray(node.params["weight"], v.arr.dtype)
     return fused_conv2d_haloed(
         v, w, scale, offset,
-        stride=1, pads=_conv_pads(node),
+        stride=1, pads=pads,
         activation=node.attr("activation", "linear"),
         alpha=float(node.attr("leaky_alpha", 0.3)),
         interpret=_interpret_mode(),
