@@ -113,15 +113,59 @@ def build_forward(
     order = graph.toposort()
     act_dtype = options.precision.activation_dtype
 
+    # --- pallas chain planning (static) -----------------------------------
+    # A chain is a maximal run of stride-1 pallas Conv2D nodes linked
+    # producer->sole-consumer. Runs of length >= 2 execute as ONE fused
+    # pallas kernel (kernels/chain_pallas.py) with intermediates living in
+    # VMEM only; singletons use the per-conv haloed kernel. Chain fusion is
+    # disabled under dump_outputs (intermediates must be observable) and
+    # under SPMD sharding.
+    def _chain_eligible(node: Node) -> bool:
+        from shadernn_tpu.ops.conv import pallas_chain_supported
+
+        return (
+            node.op == "Conv2D"
+            and len(node.inputs) == 1
+            and resolve_backend(node, graph, options) == BackendKind.PALLAS
+            and pallas_chain_supported(node, graph.nodes[node.inputs[0]].out_spec.c)
+        )
+
+    chains: Dict[str, list] = {}
+    skip_names: set = set()
+    if options.sharding.total_devices == 1 and not options.dump_outputs:
+        visited = set()
+        for node in order:
+            if node.name in visited or not _chain_eligible(node):
+                continue
+            run = [node]
+            visited.add(node.name)
+            while run[-1].name not in graph.output_names:
+                consumers = graph.consumers(run[-1].name)
+                if len(consumers) != 1:
+                    break
+                nxt = consumers[0]
+                if not (_chain_eligible(nxt) and nxt.inputs == [run[-1].name]):
+                    break
+                run.append(nxt)
+                visited.add(nxt.name)
+            if len(run) >= 2:
+                chains[node.name] = run
+                skip_names.update(n.name for n in run[1:])
+
     def forward(params: Params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-        from shadernn_tpu.kernels.conv_pallas import HaloedValue, from_haloed
-        from shadernn_tpu.ops.conv import conv_run_pallas_chain, pallas_chain_supported
+        from shadernn_tpu.kernels.chain_pallas import build_chain, fused_conv_chain
+        from shadernn_tpu.kernels.conv_pallas import (
+            HaloedValue, from_haloed, to_haloed,
+        )
+        from shadernn_tpu.ops.conv import _interpret_mode, conv_run_pallas_chain
 
         def nhwc(v):
             return from_haloed(v) if isinstance(v, HaloedValue) else v
 
         env: Dict[str, object] = {}
         for node in order:
+            if node.name in skip_names:
+                continue
             if node.op == "InputLayer":
                 x = inputs[node.name]
                 env[node.name] = x.astype(act_dtype)
@@ -133,17 +177,37 @@ def build_forward(
                 backend=resolve_backend(node, graph, options),
                 sharding=options.sharding,
             )
-            # Haloed NHCW chain: consecutive stride-1 pallas convs exchange
-            # activations in the margin-carrying layout with zero glue
-            # copies (conv chains are the hot path of every zoo model).
+            if node.name in chains:
+                run = chains[node.name]
+                v = xs[0]
+                views = [
+                    _NodeView(n, params.get(n.name, {})) for n in run
+                ]
+                built = build_chain(
+                    views,
+                    graph.nodes[node.inputs[0]].out_spec.c,
+                    act_dtype,
+                    allow_2d_head=not isinstance(v, HaloedValue),
+                )
+                if built is not None:
+                    layer_params, specs = built
+                    if specs[0].c_pad != 0 and not isinstance(v, HaloedValue):
+                        v = to_haloed(v)
+                    env[run[-1].name] = fused_conv_chain(
+                        v, layer_params, specs, interpret=_interpret_mode()
+                    )
+                else:  # VMEM/geometry gate: fall back to per-conv kernels
+                    for nview in views:
+                        v = conv_run_pallas_chain(nview, v, ctx)
+                    env[run[-1].name] = v
+                continue
+            # Single haloed conv (chain of one)
             if (
                 node.op == "Conv2D"
                 and ctx.backend == BackendKind.PALLAS
                 and len(xs) == 1
                 and options.sharding.total_devices == 1
-                and pallas_chain_supported(
-                    node, graph.nodes[node.inputs[0]].out_spec.c
-                )
+                and _chain_eligible(node)
             ):
                 env[node.name] = conv_run_pallas_chain(view, xs[0], ctx)
                 continue
