@@ -333,6 +333,8 @@ def build_chain(
         else:
             w = jnp.asarray(node.params["weight"], act_dtype)
         first_2d = idx == 0 and c == 1 and k >= 2 and allow_2d_head
+        # (An unpadded tail output — O=4 writing 4 sublanes — was tried and
+        # compiled pathologically slowly in Mosaic; keep the tile-padded O.)
         o_pad = _round_up(o, ct)
         if first_2d:
             # 2D layer: K = kh*kw, order (dx, dy)
