@@ -262,17 +262,233 @@ def convert_h5(path: str, input_hw: Optional[tuple] = None) -> Graph:
     return convert_keras(model, input_hw=input_hw)
 
 
-def convert_onnx(path: str) -> Graph:
-    try:
-        import onnx  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "ONNX conversion requires the `onnx` package, which is not "
-            "installed in this environment. Convert via Keras H5, or export "
-            "the ONNX graph to the ShaderNN JSON artifact with the upstream "
-            "convertTool and load it with Engine.from_json."
-        ) from e
-    raise NotImplementedError("onnx importer pending (package unavailable)")
+def convert_onnx(path: str, input_hw: Optional[tuple] = None) -> Graph:
+    """ONNX (opset ~9-13 CNN subset) -> Graph, via the built-in wire-format
+    reader (tools/onnx_reader.py — no `onnx` package needed). ONNX is NCHW;
+    weights are transposed to our HWIO/NHWC conventions, and Gemm weights
+    following a Flatten are row-permuted from CHW-major to HWC-major."""
+    from shadernn_tpu.tools.onnx_reader import load_onnx
+
+    og = load_onnx(path)
+    return convert_onnx_graph(og, input_hw=input_hw)
+
+
+def convert_onnx_graph(og, input_hw: Optional[tuple] = None) -> Graph:
+    from shadernn_tpu.graph.ir import Node
+
+    g = Graph(og.name)
+    inits = dict(og.initializers)
+    # value name -> producing node name in our graph
+    src: Dict[str, str] = {}
+
+    for name, shape in og.inputs:
+        if name in inits:
+            continue
+        n, c, h, w = (list(shape) + [None] * 4)[:4]
+        if h is None or w is None:
+            assert input_hw, "dynamic ONNX input dims; pass input_hw"
+            h, w = input_hw
+        node_name = f"input_{name}" if name in (None, "") else name
+        g.add(Node(node_name, "InputLayer", [],
+                   {"height": int(h), "width": int(w), "channels": int(c or 1)}))
+        src[name] = node_name
+
+    def get_init(vname):
+        return inits[vname].data if vname in inits else None
+
+    def uniq(base):
+        name = base or "node"
+        k = 1
+        while name in g.nodes:
+            k += 1
+            name = f"{base}_{k}"
+        return name
+
+    for nd in og.nodes:
+        op = nd.op_type
+        out = nd.outputs[0]
+        dyn_inputs = [src[i] for i in nd.inputs if i in src]
+        attrs: dict = {}
+        params: dict = {}
+        name = uniq(nd.name or out)
+
+        if op == "Constant":
+            val = nd.attr("value")
+            if val is not None:
+                inits[out] = val
+            continue
+        if op in ("Identity", "Dropout"):
+            if nd.inputs[0] in inits:
+                inits[out] = inits[nd.inputs[0]]
+            else:
+                src[out] = src[nd.inputs[0]]
+            continue
+        if op == "Conv":
+            w = np.asarray(get_init(nd.inputs[1]), np.float32)  # (O, C/g, kh, kw)
+            b = get_init(nd.inputs[2]) if len(nd.inputs) > 2 else None
+            group = int(nd.attr("group", 1) or 1)
+            kh = int(nd.attr("kernel_shape", [w.shape[2]])[0])
+            stride = int((nd.attr("strides") or [1])[0])
+            pads = nd.attr("pads") or [0, 0, 0, 0]
+            pt, pl_, pb, pr = (list(pads) + [0] * 4)[:4]
+            if group > 1 and w.shape[1] == 1:
+                # depthwise: (C*m, 1, kh, kw) -> HW1O
+                params["weight"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+                attrs = {"kernel_size": kh, "stride": stride,
+                         "padding": (pt, pb, pl_, pr),
+                         "multiplier": w.shape[0] // group,
+                         "use_bias": b is not None}
+                opname = "SeparableConv2D"
+            else:
+                assert group == 1, f"grouped conv g={group} unsupported"
+                params["weight"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+                attrs = {"kernel_size": kh, "stride": stride,
+                         "padding": (pt, pb, pl_, pr),
+                         "out_channels": w.shape[0],
+                         "use_bias": b is not None}
+                opname = "Conv2D"
+            if b is not None:
+                params["bias"] = np.asarray(b, np.float32)
+            g.add(Node(name, opname, dyn_inputs, attrs, params))
+        elif op == "ConvTranspose":
+            w = np.asarray(get_init(nd.inputs[1]), np.float32)  # (C, O/g, kh, kw)
+            b = get_init(nd.inputs[2]) if len(nd.inputs) > 2 else None
+            kh = w.shape[2]
+            stride = int((nd.attr("strides") or [1])[0])
+            pads = nd.attr("pads") or [0, 0, 0, 0]
+            total = pads[0] + pads[2]
+            padding = "same" if total == kh - stride else "valid"
+            params["weight"] = np.ascontiguousarray(w.transpose(2, 3, 0, 1))
+            if b is not None:
+                params["bias"] = np.asarray(b, np.float32)
+            g.add(Node(name, "Conv2DTranspose", dyn_inputs,
+                       {"kernel_size": kh, "stride": stride, "padding": padding,
+                        "out_channels": w.shape[1], "use_bias": b is not None},
+                       params))
+        elif op in ("Relu", "Sigmoid", "Tanh", "Softmax"):
+            g.add(Node(name, "Activation", dyn_inputs,
+                       {"activation": op.lower().replace("relu", "relu")}))
+        elif op == "LeakyRelu":
+            g.add(Node(name, "Activation", dyn_inputs,
+                       {"activation": "leaky_relu",
+                        "leaky_alpha": float(nd.attr("alpha", 0.01) or 0.01)}))
+        elif op == "Clip":
+            lo = nd.attr("min", 0.0)
+            hi = nd.attr("max", 6.0)
+            if lo is None and len(nd.inputs) > 1:
+                lo = float(get_init(nd.inputs[1]))
+            if hi is None and len(nd.inputs) > 2:
+                hi = float(get_init(nd.inputs[2]))
+            if float(lo or 0) == 0.0 and float(hi or 6) == 6.0:
+                g.add(Node(name, "Activation", dyn_inputs, {"activation": "relu6"}))
+            else:
+                g.add(Node(name, "Unary", dyn_inputs,
+                           {"op_type": "clip", "clip_range": (float(lo), float(hi))}))
+        elif op == "Add":
+            g.add(Node(name, "Add", dyn_inputs, {}))
+        elif op == "Concat":
+            assert int(nd.attr("axis", 1)) in (1, -3), "channel concat only"
+            g.add(Node(name, "Concatenate", dyn_inputs, {}))
+        elif op in ("MaxPool", "AveragePool"):
+            k = int(nd.attr("kernel_shape")[0])
+            stride = int((nd.attr("strides") or [k])[0])
+            pads = nd.attr("pads") or [0, 0, 0, 0]
+            pt, pl_, pb, pr = (list(pads) + [0] * 4)[:4]
+            g.add(Node(name,
+                       "MaxPooling2D" if op == "MaxPool" else "AveragePooling2D",
+                       dyn_inputs,
+                       {"kernel_size": k, "stride": stride,
+                        "padding": (pt, pb, pl_, pr)}))
+        elif op == "GlobalAveragePool":
+            g.add(Node(name, "AdaptiveAvgPool2d", dyn_inputs,
+                       {"output_height": 1, "output_width": 1}))
+        elif op == "BatchNormalization":
+            eps = float(nd.attr("epsilon", 1e-5) or 1e-5)
+            g.add(Node(name, "BatchNormalization", dyn_inputs, {"epsilon": eps},
+                       {"gamma": np.asarray(get_init(nd.inputs[1]), np.float32),
+                        "beta": np.asarray(get_init(nd.inputs[2]), np.float32),
+                        "mean": np.asarray(get_init(nd.inputs[3]), np.float32),
+                        "variance": np.asarray(get_init(nd.inputs[4]), np.float32)}))
+        elif op == "InstanceNormalization":
+            eps = float(nd.attr("epsilon", 1e-5) or 1e-5)
+            g.add(Node(name, "InstanceNormalization", dyn_inputs,
+                       {"epsilon": eps},
+                       {"gamma": np.asarray(get_init(nd.inputs[1]), np.float32),
+                        "beta": np.asarray(get_init(nd.inputs[2]), np.float32)}))
+        elif op in ("Upsample", "Resize"):
+            scales = None
+            for vin in nd.inputs[1:]:
+                arr = get_init(vin)
+                if arr is not None and arr.size >= 4:
+                    scales = arr
+            if scales is None:
+                scales = np.asarray(nd.attr("scales", [1, 1, 2, 2]))
+            mode = (nd.attr("mode", b"nearest") or b"nearest")
+            mode = mode.decode() if isinstance(mode, bytes) else mode
+            g.add(Node(name, "UpSampling2D", dyn_inputs[:1],
+                       {"scale": int(round(float(scales[2]))),
+                        "interpolation": "bilinear" if "linear" in mode else "nearest"}))
+        elif op == "Pad":
+            pads = nd.attr("pads")
+            if pads is None and len(nd.inputs) > 1:
+                pads = list(get_init(nd.inputs[1]))
+            # NCHW pads: [n, c, t, l, n, c, b, r]
+            t_, l_, b_, r_ = pads[2], pads[3], pads[6], pads[7]
+            mode = nd.attr("mode", b"constant")
+            mode = mode.decode() if isinstance(mode, bytes) else mode
+            g.add(Node(name, "ZeroPadding2D", dyn_inputs[:1],
+                       {"pad_top": int(t_), "pad_bottom": int(b_),
+                        "pad_left": int(l_), "pad_right": int(r_),
+                        "mode": {"constant": "constant", "reflect": "reflect",
+                                 "edge": "replicate"}.get(mode, "constant")}))
+        elif op in ("Flatten", "Reshape"):
+            g.add(Node(name, "Flatten", dyn_inputs[:1], {"_onnx_nchw": True}))
+        elif op == "Gemm":
+            w = np.asarray(get_init(nd.inputs[1]), np.float32)
+            if int(nd.attr("transB", 0) or 0) == 1:
+                w = w.T  # -> (in, units)
+            b = get_init(nd.inputs[2]) if len(nd.inputs) > 2 else None
+            params = {"weight": w}
+            if b is not None:
+                params["bias"] = np.asarray(b, np.float32)
+            g.add(Node(name, "Dense", dyn_inputs[:1],
+                       {"units": w.shape[1], "use_bias": b is not None,
+                        "_onnx_nchw_reorder": True}, params))
+        elif op == "DepthToSpace":
+            g.add(Node(name, "Subpixel", dyn_inputs,
+                       {"scale": int(nd.attr("blocksize", 2) or 2)}))
+        else:
+            raise ValueError(f"unsupported ONNX op {op!r} ({nd.name})")
+        src[out] = name
+        for extra in nd.outputs[1:]:
+            src[extra] = name
+
+    g.finalize([src[o] for o in og.outputs if o in src] or None)
+    g.infer_shapes()
+    _fix_nchw_dense_order(g)
+    return g
+
+
+def _fix_nchw_dense_order(g: Graph) -> None:
+    """ONNX Gemm weights expect CHW-major flattened features; our Flatten
+    produces HWC-major. Permute the weight rows accordingly."""
+    for node in list(g.nodes.values()):
+        if not node.attrs.pop("_onnx_nchw_reorder", False):
+            continue
+        (flat_name,) = node.inputs
+        flat = g.nodes[flat_name]
+        if flat.op != "Flatten":
+            continue
+        spec = g.nodes[flat.inputs[0]].out_spec
+        if not spec.is_image:
+            continue
+        h, w, c = spec.h, spec.w, spec.c
+        wt = node.params["weight"]
+        if wt.shape[0] != h * w * c:
+            continue
+        # rows indexed CHW -> reorder to HWC
+        idx = np.arange(h * w * c).reshape(c, h, w).transpose(1, 2, 0).reshape(-1)
+        node.params["weight"] = np.ascontiguousarray(wt[idx])
 
 
 def main(argv=None):
@@ -293,7 +509,7 @@ def main(argv=None):
     if ext == ".h5":
         graph = convert_h5(args.file, input_hw=input_hw)
     elif ext == ".onnx":
-        graph = convert_onnx(args.file)
+        graph = convert_onnx(args.file, input_hw=input_hw)
     else:
         raise SystemExit(f"unsupported input format {ext}")
 
