@@ -59,6 +59,22 @@ def dump_layers(engine, inputs: Dict[str, np.ndarray], out_dir: str,
     return paths
 
 
+def dump_weights(graph, out_dir: str) -> Dict[str, str]:
+    """Write every layer's weight tensors (readWeightDump.py parity:
+    observe exactly what the engine will compute with, post BN-folding /
+    quantization)."""
+    model_dir = os.path.join(out_dir, graph.name, "weights")
+    os.makedirs(model_dir, exist_ok=True)
+    paths = {}
+    for node in graph.nodes.values():
+        for pname, arr in node.params.items():
+            safe = f"{node.name}.{pname}".replace("/", "_")
+            p = os.path.join(model_dir, safe + ".npy")
+            np.save(p, np.asarray(arr))
+            paths[f"{node.name}.{pname}"] = p
+    return paths
+
+
 def read_dump(path: str, shape=None) -> np.ndarray:
     """Read a .npy or raw .bin dump (with sibling .meta.json or explicit
     shape, matching readTextureDump.py's usage)."""
