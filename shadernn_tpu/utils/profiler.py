@@ -150,6 +150,22 @@ def print_report(profiles: List[LayerProfile], precision: str = "bfloat16") -> s
     return "\n".join(lines)
 
 
+def capture_trace(engine, inputs: Dict[str, np.ndarray], out_dir: str,
+                  steps: int = 3) -> str:
+    """Capture a jax/XLA profiler trace of engine steps (viewable in
+    TensorBoard / Perfetto) — the deep-dive counterpart of the per-layer
+    table, replacing the reference's GL timestamp queries."""
+    import jax.profiler
+
+    dev_inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+    engine.model(dev_inputs)  # warm/compile outside the trace
+    with jax.profiler.trace(out_dir):
+        for _ in range(steps):
+            out = engine.model(dev_inputs)
+        jax.block_until_ready(out)
+    return out_dir
+
+
 def xla_cost_analysis(engine, inputs: Dict[str, np.ndarray]) -> dict:
     """XLA's own cost model for the whole compiled step (flops/bytes)."""
     lowered = jax.jit(engine.model.forward).lower(
