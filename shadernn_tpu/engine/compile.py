@@ -86,6 +86,10 @@ def resolve_backend(node: Node, graph: Graph, options: EngineOptions) -> Backend
     configured = options.backend_for(node.name)
     if configured != BackendKind.AUTO:
         return configured
+    if options.sharding.is_sharded:
+        # Pallas kernels are not GSPMD-partitionable; sharded graphs stay
+        # on XLA (the explicit shard_map halo path is separate).
+        return BackendKind.XLA
     if node.op == "Conv2D" and len(node.inputs) == 1:
         from shadernn_tpu.ops.conv import pallas_chain_supported
 

@@ -17,8 +17,7 @@ maps to the trailing C dimension (no C4 texture packing — XLA picks layouts).
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

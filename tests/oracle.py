@@ -120,6 +120,125 @@ def depth_to_space(x, r):
     return y.reshape(n, h * r, w * r, c // (r * r))
 
 
+def apply_activation_np(x, kind, alpha=0.3):
+    kind = (kind or "linear").lower()
+    if kind in ("linear", "", "none"):
+        return x
+    if kind == "relu":
+        return np.maximum(x, 0)
+    if kind == "relu6":
+        return np.clip(x, 0, 6)
+    if kind in ("leaky_relu", "leakyrelu"):
+        return np.where(x >= 0, x, alpha * x)
+    if kind == "tanh":
+        return np.tanh(x)
+    if kind == "sigmoid":
+        return 1 / (1 + np.exp(-x))
+    if kind in ("silu", "swish"):
+        return x / (1 + np.exp(-x))
+    if kind == "softmax":
+        e = np.exp(x - x.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+    raise ValueError(kind)
+
+
+def oracle_execute(graph, inputs):
+    """Execute a shadernn_tpu Graph with pure torch/numpy reference ops —
+    the generic ncnn-style oracle for layer-dump validation (the
+    reference's tier-2 harness walks dumped layers against ncnn,
+    resnet18Test.cpp:87-152). Returns {node_name: activation}."""
+    from shadernn_tpu.ops.common import padding_offsets
+
+    env = dict(inputs)
+    for node in graph.toposort():
+        if node.op == "InputLayer":
+            continue
+        xs = [env[i] for i in node.inputs]
+        a = node.attrs
+        act = a.get("activation", "linear")
+        alpha = float(a.get("leaky_alpha", 0.3))
+        if node.op == "Conv2D":
+            x = np.concatenate(xs, axis=-1) if len(xs) > 1 else xs[0]
+            k = int(a["kernel_size"])
+            pads = padding_offsets(a.get("padding", "same"), k)
+            bias = node.params.get("bias") if a.get("use_bias", True) else None
+            y = conv2d(x, node.params["weight"], bias, int(a.get("stride", 1)), pads)
+            if a.get("use_batchnorm") and "bn_gamma" in node.params:
+                y = batchnorm(y, node.params["bn_gamma"], node.params["bn_beta"],
+                              node.params["bn_mean"], node.params["bn_variance"],
+                              float(a.get("bn_epsilon", 1e-3)))
+            y = apply_activation_np(y, act, alpha)
+        elif node.op == "SeparableConv2D":
+            k = int(a["kernel_size"])
+            pads = padding_offsets(a.get("padding", "same"), k)
+            bias = node.params.get("bias") if a.get("use_bias", True) else None
+            y = depthwise_conv2d(xs[0], node.params["weight"], bias,
+                                 int(a.get("stride", 1)), pads,
+                                 int(a.get("multiplier", 1)))
+            if a.get("use_batchnorm") and "bn_gamma" in node.params:
+                y = batchnorm(y, node.params["bn_gamma"], node.params["bn_beta"],
+                              node.params["bn_mean"], node.params["bn_variance"],
+                              float(a.get("bn_epsilon", 1e-3)))
+            y = apply_activation_np(y, act, alpha)
+        elif node.op == "Conv2DTranspose":
+            k = int(a["kernel_size"])
+            from shadernn_tpu.ops.common import is_same_padding
+
+            bias = node.params.get("bias") if a.get("use_bias", True) else None
+            y = conv_transpose2d(xs[0], node.params["weight"], bias,
+                                 int(a.get("stride", 1)),
+                                 is_same_padding(a.get("padding", "same")), k)
+            y = apply_activation_np(y, act, alpha)
+        elif node.op == "MaxPooling2D":
+            k = int(a["kernel_size"])
+            y = maxpool2d(xs[0], k, int(a["stride"]),
+                          padding_offsets(a.get("padding", "valid"), k))
+        elif node.op == "AveragePooling2D":
+            k = int(a["kernel_size"])
+            y = avgpool2d(xs[0], k, int(a["stride"]),
+                          padding_offsets(a.get("padding", "valid"), k))
+        elif node.op == "AdaptiveAvgPool2d":
+            y = adaptive_avgpool2d(
+                xs[0], (int(a.get("output_height", 1)), int(a.get("output_width", 1))))
+        elif node.op == "BatchNormalization":
+            y = batchnorm(xs[0], node.params["gamma"], node.params["beta"],
+                          node.params["mean"], node.params["variance"],
+                          float(a.get("epsilon", 1e-3)))
+            y = apply_activation_np(y, act, alpha)
+        elif node.op == "InstanceNormalization":
+            y = instancenorm(xs[0], node.params.get("gamma"),
+                             node.params.get("beta"), float(a.get("epsilon", 1e-5)))
+            y = apply_activation_np(y, act, alpha)
+        elif node.op == "Add":
+            y = apply_activation_np(sum(xs), act, alpha)
+        elif node.op == "Concatenate":
+            y = np.concatenate(xs, axis=-1)
+        elif node.op == "Activation":
+            y = apply_activation_np(xs[0], a.get("activation", "relu"), alpha)
+        elif node.op == "Flatten":
+            y = xs[0].reshape(xs[0].shape[0], -1)
+        elif node.op == "Dense":
+            x = xs[0].reshape(xs[0].shape[0], -1)
+            bias = node.params.get("bias") if a.get("use_bias", True) else None
+            y = dense(x, node.params["weight"], bias)
+            y = apply_activation_np(y, act, alpha)
+        elif node.op == "UpSampling2D":
+            y = upsample_nearest(xs[0], int(a.get("scale", 2)))
+        elif node.op == "ZeroPadding2D":
+            from shadernn_tpu.ops.shape_ops import Pad as PadOp
+
+            t, b, l, r = PadOp._pads(node)
+            mode = {"constant": "constant", "reflect": "reflect",
+                    "replicate": "edge"}.get(str(a.get("mode", "constant")), "constant")
+            y = np.pad(xs[0], ((0, 0), (t, b), (l, r), (0, 0)), mode=mode)
+        elif node.op == "Subpixel":
+            y = depth_to_space(xs[0], int(a.get("scale", 2)))
+        else:
+            raise ValueError(f"oracle_execute: unsupported op {node.op}")
+        env[node.name] = np.asarray(y, np.float32)
+    return env
+
+
 def compare(a, b, threshold=0.01, name=""):
     """Max-abs-diff comparison like CompareMat (testutil.h:1194)."""
     a = np.asarray(a, np.float32)
