@@ -15,10 +15,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: kernel-heavy models recompile in
+# seconds instead of minutes on repeat runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 REFERENCE_ESPCN_MS = 775.194  # docs/Developer-Guide/Benchmarking.md:25
 
