@@ -98,7 +98,12 @@ class StreamingEngine:
         on_result: Optional[Callable[[Result], None]] = None,
         queue_capacity: int = 64,
         batch_window_s: float = 0.002,
+        ingest: Optional[dict] = None,
     ):
+        """ingest: optional {"means": ..., "norms": ...} — producers then
+        submit raw uint8 frames and the on-device ingest pipeline
+        (image/ingest.py) is fused into the same step as the model, the
+        full zero-copy path."""
         self.engine = engine
         self.queue = FrameQueue(queue_capacity)
         self.on_result = on_result
@@ -111,6 +116,22 @@ class StreamingEngine:
         self.step_timer = Timer("step")
         self.frames_done = 0
         self.batches_run = 0
+        self._step = None
+        if ingest is not None:
+            from shadernn_tpu.image.ingest import ingest_frames
+
+            forward = engine.model.forward
+            params = engine.model.params
+            means = tuple(ingest.get("means", (0.0,)))
+            norms = tuple(ingest.get("norms", (1 / 255.0,)))
+
+            @jax.jit
+            def fused_step(raw):
+                x = ingest_frames(raw, means=means, norms=norms,
+                                  dtype_name="float32")
+                return forward(params, {self.in_name: x})
+
+            self._step = fused_step
 
     # -- producer API ------------------------------------------------------
     def submit(self, stream_id: int, frame_id: int, data: np.ndarray) -> None:
@@ -155,7 +176,10 @@ class StreamingEngine:
             pad = np.repeat(batch[-1:], self.batch_size - fill, axis=0)
             batch = np.concatenate([batch, pad], axis=0)
         self.step_timer.start()
-        outs = self.engine.model({self.in_name: jnp.asarray(batch)})
+        if self._step is not None:
+            outs = self._step(jnp.asarray(batch))
+        else:
+            outs = self.engine.model({self.in_name: jnp.asarray(batch)})
         outs = {k: np.asarray(v) for k, v in outs.items() if k != "__dumps__"}
         self.step_timer.stop()
         now = time.monotonic()
