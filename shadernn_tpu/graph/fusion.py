@@ -122,6 +122,67 @@ def fuse_activation_into_conv(graph: Graph) -> int:
     return len(to_remove)
 
 
+def fold_pad_into_conv(graph: Graph) -> int:
+    """Merge a zero-constant ZeroPadding2D into its sole consuming conv's
+    explicit padding (the reference's converter emits Pad+Conv pairs; the
+    conv shader handles the offsets itself, padlayer + conv2d
+    getPaddingOffset). Keeps pallas conv chains unbroken."""
+    from shadernn_tpu.ops.common import padding_offsets
+    from shadernn_tpu.ops.shape_ops import Pad as PadOp
+
+    removed = []
+    for n in list(graph.nodes.values()):
+        if n.op != "ZeroPadding2D":
+            continue
+        if str(n.attr("mode", "constant")).lower() not in ("constant", "zero"):
+            continue
+        if float(n.attr("value", 0.0)) != 0.0:
+            continue
+        consumers = graph.consumers(n.name)
+        if len(consumers) != 1 or consumers[0].op != "Conv2D":
+            continue
+        if n.name in graph.output_names:
+            continue
+        conv = consumers[0]
+        pt, pb, pl_, pr = PadOp._pads(n)
+        k = int(conv.attr("kernel_size"))
+        ct, cb, cl, cr = padding_offsets(conv.attr("padding", "same"), k)
+        conv.attrs["padding"] = (pt + ct, pb + cb, pl_ + cl, pr + cr)
+        removed.append(n.name)
+    _remove_passthrough(graph, removed)
+    return len(removed)
+
+
+# Ops that permute/reshape elements without changing values: an elementwise
+# activation commutes with them.
+_PERMUTATION_OPS = ("Subpixel", "Flatten")
+
+
+def fuse_activation_through_permutation(graph: Graph) -> int:
+    """Move Activation(permute(conv(x))) -> permute(conv+act(x)): lets the
+    activation ride the conv's fused epilogue (e.g. ESPCN's tanh after
+    depth_to_space lands in the chain kernel's last layer)."""
+    moved = []
+    for n in list(graph.nodes.values()):
+        if n.op != "Activation" or len(n.inputs) != 1:
+            continue
+        perm = graph.nodes[n.inputs[0]]
+        if perm.op not in _PERMUTATION_OPS or len(graph.consumers(perm.name)) != 1:
+            continue
+        src = graph.nodes[perm.inputs[0]]
+        if src.op not in _CONV_OPS + ("Dense",):
+            continue
+        if src.attr("activation", "linear") not in ("linear", "", None):
+            continue
+        if len(graph.consumers(src.name)) != 1:
+            continue
+        src.attrs["activation"] = n.attr("activation", "linear")
+        src.attrs["leaky_alpha"] = n.attr("leaky_alpha", 0.3)
+        moved.append(n.name)
+    _remove_passthrough(graph, moved)
+    return len(moved)
+
+
 def _remove_passthrough(graph: Graph, names) -> None:
     """Remove single-input nodes, rewiring consumers to their producer."""
     for name in names:
@@ -139,4 +200,6 @@ def optimize(graph: Graph, fold_bn: bool = True) -> Dict[str, int]:
     if fold_bn:
         stats["batchnorm_folds"] = fold_batchnorm(graph)
     stats["activation_fusions"] = fuse_activation_into_conv(graph)
+    stats["pad_folds"] = fold_pad_into_conv(graph)
+    stats["permuted_activation_fusions"] = fuse_activation_through_permutation(graph)
     return stats
