@@ -23,35 +23,42 @@ def _make(data=4, batch=4):
     )
 
 
+def _out_name(ee):
+    return ee.engine.graph.output_names[0]
+
+
 def test_normal_operation():
     ee = _make()
     x = np.random.default_rng(0).random((4, 16, 24, 1), dtype=np.float32)
+    out_name = _out_name(ee)
     out = ee.run({"input": x})
-    assert np.asarray(out["tanh_out"]).shape == (4, 32, 48, 1)
+    assert np.asarray(out[out_name]).shape == (4, 32, 48, 1)
     assert ee.failures == 0 and ee.data_parallel_degree == 4
 
 
 def test_failure_shrinks_and_recovers(rng):
     ee = _make()
     x = rng.random((4, 16, 24, 1), dtype=np.float32)
-    want = np.asarray(ee.run({"input": x})["tanh_out"])
+    out_name = _out_name(ee)
+    want = np.asarray(ee.run({"input": x})[out_name])
 
     ee.inject_failure(1)
     out = ee.run({"input": x})
     assert ee.failures == 1 and ee.rebuilds == 1
     assert ee.data_parallel_degree == 2  # halved
-    got = np.asarray(out["tanh_out"]) if not isinstance(out["tanh_out"], np.ndarray) else out["tanh_out"]
+    got = np.asarray(out[out_name]) if not isinstance(out[out_name], np.ndarray) else out[out_name]
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 def test_double_failure_then_single_device(rng):
     ee = _make()
     x = rng.random((4, 16, 24, 1), dtype=np.float32)
-    want = np.asarray(ee.run({"input": x})["tanh_out"])
+    out_name = _out_name(ee)
+    want = np.asarray(ee.run({"input": x})[out_name])
     ee.inject_failure(2)
     out = ee.run({"input": x})
     assert ee.data_parallel_degree == 1
-    got = np.asarray(out["tanh_out"]) if not isinstance(out["tanh_out"], np.ndarray) else out["tanh_out"]
+    got = np.asarray(out[out_name]) if not isinstance(out[out_name], np.ndarray) else out[out_name]
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
