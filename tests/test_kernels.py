@@ -114,6 +114,20 @@ def test_pallas_espcn_end_to_end(rng, fp32_threshold):
     oracle.compare(got, want, fp32_threshold, "pallas-espcn")
 
 
+def test_pallas_int8_fused_chain(rng, fp16_threshold):
+    """INT8 weights through the fused chain kernel (dequant inside the
+    chain, per-layer) stays within the reference bf16/int8 tolerance."""
+    from shadernn_tpu.models import build_model
+    from shadernn_tpu.quant.quantize import quantize_graph_weights
+
+    x = rng.random((1, 16, 24, 1), dtype=np.float32)
+    want = run_backend(build_model("espcn", h=16, w=24), x, BackendKind.XLA)
+    g = build_model("espcn", h=16, w=24)
+    quantize_graph_weights(g)
+    got = run_backend(g, x, BackendKind.PALLAS, precision=Precision.INT8)
+    oracle.compare(got, want, fp16_threshold, "int8-fused-chain")
+
+
 def test_pallas_fused_matmul_direct(rng, fp32_threshold):
     """Direct kernel API with shapes that need padding on every axis."""
     from shadernn_tpu.kernels.matmul_pallas import fused_matmul
