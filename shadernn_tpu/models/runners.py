@@ -62,7 +62,19 @@ RUNNERS = {
         "spatialdenoise", 1080, 1920, 1, means=(0.0,), norms=(1 / 255.0,),
         luma_only=True,
     ),
+    # runAIDenoiser (modelInference.cpp:77-104): 1080x1920 luma, 1/255.
+    "aidenoise": RunnerConfig(
+        "aidenoise", 1080, 1920, 1, means=(0.0,), norms=(1 / 255.0,),
+        luma_only=True,
+    ),
 }
+
+# The reference zoo's per-style fast-neural-style models share the
+# styletransfer runner geometry (modelInference.cpp:212-225).
+for _style in ("candy", "mosaic", "pointilism", "rain-princess", "udnie"):
+    RUNNERS[f"styletransfer-{_style}"] = RunnerConfig(
+        f"styletransfer-{_style}", 224, 224, 3, means=(0.0,), norms=(1.0,),
+    )
 
 
 def make_engine(

@@ -38,9 +38,11 @@ def list_models():
 def _ensure_loaded():
     if _BUILDERS:
         return
+    import functools
+
     from shadernn_tpu.models import (
-        espcn, mobilenetv2, resnet18, spatialdenoise, styletransfer, unet,
-        yolov3_tiny,
+        aidenoise, espcn, mobilenetv2, resnet18, spatialdenoise,
+        styletransfer, unet, yolov3_tiny,
     )
 
     _BUILDERS.update(
@@ -52,5 +54,17 @@ def _ensure_loaded():
             "styletransfer": styletransfer.build_style_transfer,
             "yolov3-tiny": yolov3_tiny.build_yolov3_tiny,
             "spatialdenoise": spatialdenoise.build_spatial_denoise,
+            "aidenoise": aidenoise.build_aidenoise,
         }
     )
+    # The reference zoo's five fast-neural-style variants
+    # (modelzoo/StyleTransfer/{candy,mosaic,pointilism,rain-princess,
+    # udnie}-9_simplified.json): one architecture, per-style weights.
+    # Distinct seeds stand in for the per-style weights until a real
+    # artifact is loaded via the parser.
+    for i, _style in enumerate(
+        ("candy", "mosaic", "pointilism", "rain-princess", "udnie")
+    ):
+        _BUILDERS[f"styletransfer-{_style}"] = functools.partial(
+            styletransfer.build_style_transfer, style=_style, seed=7767517 + i
+        )

@@ -10,8 +10,31 @@ from shadernn_tpu.models.runners import RUNNERS, make_engine, run_model
 def test_runner_registry_covers_zoo():
     assert set(RUNNERS) >= {
         "espcn", "resnet18", "mobilenetv2", "styletransfer", "unet",
-        "yolov3-tiny", "spatialdenoise",
+        "yolov3-tiny", "spatialdenoise", "aidenoise",
+        "styletransfer-candy", "styletransfer-mosaic",
+        "styletransfer-pointilism", "styletransfer-rain-princess",
+        "styletransfer-udnie",
     }
+    # Every runner's model must exist in the zoo (runner geometry is the
+    # reference's; modelInference.cpp:32-124).
+    from shadernn_tpu.models import list_models
+
+    assert {cfg.model for cfg in RUNNERS.values()} <= set(list_models())
+
+
+def test_aidenoise_runner_small():
+    """runAIDenoiser analog (modelInference.cpp:77-104): luma in, residual
+    denoised luma out at the same resolution."""
+    from shadernn_tpu.engine.engine import Engine
+    from shadernn_tpu.models import build_model
+    from shadernn_tpu.config import EngineOptions
+
+    g = build_model("aidenoise", h=32, w=64)
+    eng = Engine.from_graph(g, EngineOptions(precision=Precision.FP32))
+    x = np.random.default_rng(7767517).random((1, 32, 64, 1), np.float32)
+    y = np.asarray(eng.run_single(x))
+    assert y.shape == (1, 32, 64, 1)
+    assert np.isfinite(y).all()
 
 
 def test_run_model_classification_small():
