@@ -56,6 +56,12 @@ class ChainLayerSpec:
     pr: int
     activation: str
     alpha: float
+    # Output rows produced per MXU dot. Small-channel convs leave the MXU's
+    # M dimension mostly idle (o_pad=16 -> 12.5%); batching r consecutive
+    # output rows into one dot shares the contraction over the overlapping
+    # kh+r-1 input rows (M = r*o_pad, K = kw*(kh+r-1)*c_pad), cutting
+    # K-passes per output row by up to kh*r/(kh+r-1) ~ 4x for 3x3 convs.
+    r: int = 1
 
 
 def _plan_rows(specs: Sequence[ChainLayerSpec], th: int):
@@ -141,35 +147,45 @@ def _chain_kernel(
         wmat = w_refs[l][...]
         if wmat.dtype == jnp.int8:
             wmat = wmat.astype(compute_dtype)
-        scale = scale_refs[l][...]
+        scale = scale_refs[l][...]  # (r*o_pad, 1)
         offset = offset_refs[l][...]
         kdim = wmat.shape[0]
         last = l == nlayers - 1
         out_rows = rows_list[l + 1]
+        r = spec.r
+        rows_patch = spec.kh + r - 1
         # Every layer masks its own zero-padding region: margin rows/lanes
         # must be EXACT zeros because they are the next conv's padding.
         lane_mask = ((lane >= ML) & (lane < ML + w_list[l])).astype(jnp.float32)
-        for j in range(out_rows):
-            # assemble patch for this layer/row
+        # sub-row id within the (r*o_pad, Wp) dot result, for row masking
+        rid = (
+            jax.lax.broadcasted_iota(jnp.int32, (r * spec.o_pad, 1), 0)
+            // spec.o_pad
+        )
+        n_dots = -(-out_rows // r)
+        for t in range(n_dots):
+            # overlapping tail tile recomputes identical rows
+            j0 = min(t * r, out_rows - r)
+            # assemble the shared patch for output rows [j0, j0+r)
             if l == 0 and first_2d:
-                slab = xs[slot, delta + j : delta + j + spec.kh]  # (kh, Wp) f32
+                slab = xs[slot, delta + j0 : delta + j0 + rows_patch]  # (rows_patch, Wp) f32
                 for dx in range(spec.kw):
                     s = spec.pl - dx
-                    base = dx * spec.kh
+                    base = dx * rows_patch
                     if s >= 0:
-                        patch_ref[base : base + spec.kh, s:wp] = (
+                        patch_ref[base : base + rows_patch, s:wp] = (
                             slab[:, : wp - s].astype(compute_dtype)
                         )
                     else:
-                        patch_ref[base : base + spec.kh, : wp + s] = (
+                        patch_ref[base : base + rows_patch, : wp + s] = (
                             slab[:, -s:wp].astype(compute_dtype)
                         )
             else:
                 if l == 0:
-                    slab = xs[slot, j : j + spec.kh]  # (kh, C_pad, Wp)
+                    slab = xs[slot, j0 : j0 + rows_patch]  # (rows_patch, C_pad, Wp)
                 else:
-                    slab = layer_scratch[l - 1][j : j + spec.kh]
-                kc = spec.kh * spec.c_pad
+                    slab = layer_scratch[l - 1][j0 : j0 + rows_patch]
+                kc = rows_patch * spec.c_pad
                 for dx in range(spec.kw):
                     s = spec.pl - dx
                     base = dx * kc
@@ -186,17 +202,23 @@ def _chain_kernel(
                 patch_ref[:kdim, :],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (O_pad, Wp)
+            )  # (r*O_pad, Wp)
             y = acc * scale + offset
             y = apply_activation(y, spec.activation, spec.alpha)
-            # global row of this layer-l output
-            g = i * th - a_offsets[l + 1] + j
-            row_mask = ((g >= MH) & (g < MH + h_list[l])).astype(jnp.float32)
-            y = y * (row_mask * lane_mask)
-            if last:
-                out_ref[0, j] = y.astype(out_ref.dtype)
-            else:
-                layer_scratch[l][j] = y.astype(compute_dtype)
+            # global rows of this layer-l output block
+            g0 = i * th - a_offsets[l + 1] + j0
+            row_mask = ((g0 + rid >= MH) & (g0 + rid < MH + h_list[l])).astype(
+                jnp.float32
+            )
+            y = (y * (row_mask * lane_mask)).astype(
+                out_ref.dtype if last else compute_dtype
+            )
+            for rr in range(r):
+                blk = y[rr * spec.o_pad : (rr + 1) * spec.o_pad]
+                if last:
+                    out_ref[0, j0 + rr] = blk
+                else:
+                    layer_scratch[l][j0 + rr] = blk
 
 
 def fused_conv_chain(
@@ -250,7 +272,7 @@ def fused_conv_chain(
     hp_out = n_h_tiles * th
 
     max_k = max(
-        (s.kh * s.kw if (i == 0 and first_2d) else s.kh * s.kw * s.c_pad)
+        (s.kh + s.r - 1) * s.kw * (1 if (i == 0 and first_2d) else s.c_pad)
         for i, s in enumerate(specs)
     )
 
@@ -268,12 +290,16 @@ def fused_conv_chain(
     for p in layer_params:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(p["wmat"])
-    for p in layer_params:
+    for p, s in zip(layer_params, specs):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        operands.append(p["scale"].reshape(-1, 1).astype(jnp.float32))
-    for p in layer_params:
+        operands.append(
+            jnp.tile(p["scale"].reshape(-1), s.r).reshape(-1, 1).astype(jnp.float32)
+        )
+    for p, s in zip(layer_params, specs):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        operands.append(p["offset"].reshape(-1, 1).astype(jnp.float32))
+        operands.append(
+            jnp.tile(p["offset"].reshape(-1), s.r).reshape(-1, 1).astype(jnp.float32)
+        )
 
     if first_2d:
         rows_dma = _round_up(rows_list[0] + th, 8)
@@ -320,7 +346,7 @@ def build_chain(
     from shadernn_tpu.ops.common import padding_offsets
     from shadernn_tpu.ops.conv import epilogue_scale_offset
 
-    layer_params, specs = [], []
+    weights, scales, offsets, specs = [], [], [], []
     c = in_channels
     ct = 16  # bf16 sublane tile; f32 chains use 8 but bf16 dominates
     for idx, node in enumerate(nodes):
@@ -337,19 +363,20 @@ def build_chain(
         # compiled pathologically slowly in Mosaic; keep the tile-padded O.)
         o_pad = _round_up(o, ct)
         if first_2d:
-            # 2D layer: K = kh*kw, order (dx, dy)
-            wmat = jnp.transpose(w[:, :, 0, :], (1, 0, 2)).reshape(k * k, o)
+            w = jnp.transpose(w[:, :, 0, :], (1, 0, 2))  # (kw, kh, o)
             c_pad = 0
         else:
             c_pad = _round_up(c, ct)
             if c_pad != c:
                 w = jnp.pad(w, ((0, 0), (0, 0), (0, c_pad - c), (0, 0)))
-            wmat = jnp.transpose(w, (1, 0, 2, 3)).reshape(k * k * c_pad, o)
+            w = jnp.transpose(w, (1, 0, 2, 3))  # (kw, kh, c_pad, o)
         if o != o_pad:
-            wmat = jnp.pad(wmat, ((0, 0), (0, o_pad - o)))
+            w = jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(0, o_pad - o)])
             scale = jnp.concatenate([scale.reshape(-1), jnp.ones(o_pad - o)])
             offset = jnp.concatenate([offset.reshape(-1), jnp.zeros(o_pad - o)])
-        layer_params.append({"wmat": wmat, "scale": scale, "offset": offset})
+        weights.append(w)
+        scales.append(scale)
+        offsets.append(offset)
         specs.append(
             ChainLayerSpec(
                 kh=k, kw=k, c=c, c_pad=c_pad, o=o, o_pad=o_pad,
@@ -373,4 +400,30 @@ def build_chain(
         bytes_needed += rows[l + 1] * specs[l].o_pad * 2
     if bytes_needed * 1300 > 60 * 1024 * 1024:  # x wp lanes (~1.2k) budget
         return None
+    # Pick the per-dot row batch r and lay out the block weight matrix
+    # (see ChainLayerSpec.r): rows [j0, j0+r) share one contraction over
+    # input rows [j0, j0+kh+r-1), so sub-row rr's weights sit at dy-offset
+    # rr inside the (kw, kh+r-1, [c_pad,]) patch and at column block rr.
+    layer_params = []
+    for l, spec in enumerate(specs):
+        r = max(1, min(8, 128 // spec.o_pad, rows[l + 1]))
+        rows_patch = spec.kh + r - 1
+        w = weights[l]  # (kw, kh, [c_pad,] o_pad)
+        blocks = [
+            jnp.pad(
+                w, [(0, 0), (rr, rows_patch - spec.kh - rr)]
+                + [(0, 0)] * (w.ndim - 2)
+            )
+            for rr in range(r)
+        ]
+        wmat = jnp.stack(blocks, axis=-1)  # (kw, rows_patch, [c_pad,] o_pad? ...)
+        # stack puts r before o_pad? axis=-1 appends after o_pad; we need
+        # (..., r, o_pad) so the flattened M order is (r, o) — move it.
+        wmat = jnp.moveaxis(wmat, -1, -2)
+        kdim = spec.kw * rows_patch * (spec.c_pad if spec.c_pad else 1)
+        wmat = wmat.reshape(kdim, r * spec.o_pad)
+        layer_params.append(
+            {"wmat": wmat, "scale": scales[l], "offset": offsets[l]}
+        )
+        specs[l] = dataclasses.replace(spec, r=r)
     return layer_params, specs
