@@ -250,9 +250,9 @@ ML = 8  # lane margin
 
 def _haloed_kernel(
     x_hbm,  # (N, Hp_in, C, Wp) ANY/HBM, zero margins
-    w_ref,  # (K, O) VMEM, K in (dx, dy, c) order
-    scale_ref,  # (O, 1) f32
-    offset_ref,  # (O, 1) f32
+    w_ref,  # (K, r*O) VMEM, K in (dx, dy, c) order over kh+r-1 patch rows
+    scale_ref,  # (r*O, 1) f32
+    offset_ref,  # (r*O, 1) f32
     out_ref,  # block (1, Th, O, Wp)
     xs,  # scratch (2, Th + k - 1, C, Wp)
     patch_ref,  # scratch (K, Wp)
@@ -267,6 +267,8 @@ def _haloed_kernel(
     h_out: int,
     w_out: int,
     wp: int,
+    o_pad: int,
+    r: int,
     activation: str,
     alpha: float,
     n_h_tiles: int,
@@ -275,6 +277,7 @@ def _haloed_kernel(
 ):
     i = pl.program_id(1)
     rows = th + kh - 1
+    rows_patch = kh + r - 1
 
     def dma(slot, tile_idx):
         n = pl.program_id(0)
@@ -307,55 +310,40 @@ def _haloed_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
     lane_mask = ((lane >= ML) & (lane < ML + w_out)).astype(jnp.float32)
-    batched = patch_ref.shape[-1] == th * wp
+    # sub-row id within the (r*o_pad, Wp) dot result (see chain_pallas:
+    # r output rows share one contraction over kh+r-1 input rows)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (r * o_pad, 1), 0) // o_pad
 
-    def store_patch(r, lane_base):
-        """Assemble row r's implicit-GEMM columns at patch lanes
-        [lane_base, lane_base + wp). Lane-offset stores (Mosaic has no
-        bf16 rotate); the few stale lanes at the unwritten edges land in
-        the masked margins."""
-        slab = xs[slot, r : r + kh]  # (kh, C, Wp)
+    for t in range(-(-th // r)):
+        j0 = min(t * r, th - r)  # overlapping tail recomputes same rows
+        # Assemble the shared implicit-GEMM patch for rows [j0, j0+r).
+        # Lane-offset stores (Mosaic has no bf16 rotate); the few stale
+        # lanes at the unwritten edges land in the masked margins.
+        slab = xs[slot, j0 : j0 + rows_patch]  # (rows_patch, C, Wp)
+        kc = rows_patch * c
         for dx in range(kw):
             s = pl_ - dx
-            base = dx * kh * c
+            base = dx * kc
             if s >= 0:
-                patch_ref[base : base + kh * c, lane_base + s : lane_base + wp] = (
-                    slab[:, :, : wp - s].reshape(kh * c, wp - s)
+                patch_ref[base : base + kc, s:wp] = (
+                    slab[:, :, : wp - s].reshape(kc, wp - s)
                 )
             else:
-                patch_ref[base : base + kh * c, lane_base : lane_base + wp + s] = (
-                    slab[:, :, -s:wp].reshape(kh * c, wp + s)
+                patch_ref[base : base + kc, : wp + s] = (
+                    slab[:, :, -s:wp].reshape(kc, wp + s)
                 )
-
-    def epilogue(acc, r):
-        jo = i * th + r
-        row_mask = ((jo >= MH) & (jo < MH + h_out)).astype(jnp.float32)
-        y = acc * scale + offset
-        y = apply_activation(y, activation, alpha)
-        y = y * (row_mask * lane_mask)
-        return y.astype(out_ref.dtype)
-
-    if batched:
-        # One MXU dot for the whole tile: patch lanes = th concatenated
-        # rows, amortizing per-dot overhead 8x (VMEM permitting).
-        for r in range(th):
-            store_patch(r, r * wp)
         acc = jax.lax.dot_general(
             wmat, patch_ref[...],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (O, th*wp)
-        for r in range(th):
-            out_ref[0, r] = epilogue(acc[:, r * wp : (r + 1) * wp], r)
-    else:
-        for r in range(th):
-            store_patch(r, 0)
-            acc = jax.lax.dot_general(
-                wmat, patch_ref[...],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out_ref[0, r] = epilogue(acc, r)
+        )  # (r*O, Wp)
+        jo = i * th + j0 + rid
+        row_mask = ((jo >= MH) & (jo < MH + h_out)).astype(jnp.float32)
+        y = acc * scale + offset
+        y = apply_activation(y, activation, alpha)
+        y = (y * (row_mask * lane_mask)).astype(out_ref.dtype)
+        for rr in range(r):
+            out_ref[0, j0 + rr] = y[rr * o_pad : (rr + 1) * o_pad]
 
 
 MB = 16  # bottom row margin (covers DMA window overhang: pb + Th - 1)
@@ -441,7 +429,21 @@ def fused_conv2d_haloed(
     offset = jnp.concatenate(
         [offset.reshape(-1).astype(jnp.float32), jnp.zeros((o_pad - o,), jnp.float32)]
     )
-    wmat = jnp.transpose(w_hwio, (1, 0, 2, 3)).reshape(kw * kh * c_pad, o_pad)
+    # r-row dot batching (see chain_pallas.ChainLayerSpec.r): rows
+    # [j0, j0+r) share one contraction over kh+r-1 input rows, so sub-row
+    # rr's weights sit at dy-offset rr and column block rr.
+    r = max(1, min(block_rows, 128 // o_pad))
+    rows_patch = kh + r - 1
+    w_t = jnp.transpose(w_hwio, (1, 0, 2, 3))  # (kw, kh, c_pad, o_pad)
+    blocks = [
+        jnp.pad(w_t, ((0, 0), (rr, rows_patch - kh - rr), (0, 0), (0, 0)))
+        for rr in range(r)
+    ]
+    wmat = jnp.moveaxis(jnp.stack(blocks, axis=-1), -1, -2).reshape(
+        kw * rows_patch * c_pad, r * o_pad
+    )
+    scale = jnp.tile(scale, r)
+    offset = jnp.tile(offset, r)
 
     h_out = hv.h + pt + pb - kh + 1
     w_out = hv.w + pl_ + pr - kw + 1
@@ -454,8 +456,9 @@ def fused_conv2d_haloed(
     kernel = functools.partial(
         _haloed_kernel,
         kh=kh, kw=kw, th=th, c=c_pad, pt=pt, pl_=pl_, h_out=h_out,
-        w_out=w_out, wp=wp, activation=activation, alpha=alpha,
-        n_h_tiles=n_h_tiles, hp_in=hp_in, dequant=w_hwio.dtype == jnp.int8,
+        w_out=w_out, wp=wp, o_pad=o_pad, r=r, activation=activation,
+        alpha=alpha, n_h_tiles=n_h_tiles, hp_in=hp_in,
+        dequant=w_hwio.dtype == jnp.int8,
     )
     out = pl.pallas_call(
         kernel,
@@ -473,19 +476,7 @@ def fused_conv2d_haloed(
         out_shape=jax.ShapeDtypeStruct((n, hp_out, o_pad, wp), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, th + kh - 1, c_pad, wp), x.dtype),
-            # Row-batched patch (one dot per tile) is plumbed but measured
-            # neutral-to-slower on v5e (the kernel is DMA-bound, not
-            # dot-bound), so it stays disabled; flip the 0 to a VMEM byte
-            # budget (e.g. 6 MiB) to re-enable.
-            pltpu.VMEM(
-                (
-                    kw * kh * c_pad,
-                    th * wp
-                    if kw * kh * c_pad * th * wp * np.dtype(x.dtype).itemsize <= 0
-                    else wp,
-                ),
-                x.dtype,
-            ),
+            pltpu.VMEM((kw * rows_patch * c_pad, wp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -498,7 +489,7 @@ def fused_conv2d_haloed(
             transcendentals=0,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x, wmat, scale.reshape(o_pad, 1), offset.reshape(o_pad, 1))
+    )(x, wmat, scale.reshape(-1, 1), offset.reshape(-1, 1))
     return HaloedValue(out, h_out, w_out, o)
 
 
