@@ -183,6 +183,193 @@ def fuse_activation_through_permutation(graph: Graph) -> int:
     return len(moved)
 
 
+def fold_stride2_convs(graph: Graph) -> int:
+    """Rewrite each stride-2 Conv2D as SpaceToDepth(2) + a stride-1 Conv2D
+    with block-rearranged weights — exact arithmetic, just reindexed.
+
+    Why: stride-2 convs are excluded from the stride-1 pallas chain format
+    (and XLA also tiles the dense stride-1 form better). Derivation: with
+    x2 = space_to_depth(x) (block-major), out[i,j] = sum_dy x[2i+dy-pt]...
+    maps tap dy to (a_y, r_y) via u = dy-pt, a_y = floor(u/2)+ceil(pt/2),
+    r_y = u mod 2, giving a k2 = floor((k-1-pt)/2)+ceil(pt/2)+1 kernel over
+    4C channels with pads (ceil(pt/2), pb2, ceil(pl/2), pr2) chosen to
+    reproduce the original output size.
+    """
+    from shadernn_tpu.ops.common import padding_offsets
+
+    if any(n.out_spec is None for n in graph.nodes.values()):
+        graph.infer_shapes()
+    count = 0
+    for name in list(graph.nodes):
+        node = graph.nodes[name]
+        if (
+            node.op != "Conv2D"
+            or int(node.attr("stride", 1)) != 2
+            or len(node.inputs) != 1
+        ):
+            continue
+        k = int(node.attr("kernel_size"))
+        pt, pb, pl, pr = padding_offsets(node.attr("padding", "same"), k)
+        if pt != pl:  # keep the rewritten kernel square
+            continue
+        in_spec = graph.nodes[node.inputs[0]].out_spec
+        if not in_spec.is_image:
+            continue
+        h, w, c = in_spec.h, in_spec.w, in_spec.c
+        if h % 2 or w % 2:
+            continue
+        pt2 = -((-pt) // 2)  # ceil(pt/2)
+        k2 = (k - 1 - pt) // 2 + pt2 + 1
+        # Fold ONLY when the folded conv lands in the pallas chain regime
+        # (the AUTO policy's small-channel window, engine/compile.py
+        # resolve_backend): there the fold chains the layer into one fused
+        # kernel. Measured on v5e: aidenoise (4C=4, O=16) 502 -> 718
+        # frames/s; but whenever the folded conv stays on XLA the
+        # space-to-depth shuffle is pure overhead (MobileNetV2 stem,
+        # 4C=12 O=32: -19%; styletransfer 128-ch downs: -20%).
+        o = int(node.attr("out_channels"))
+        if not (2 <= k2 <= 4 and max(4 * c, o) <= 16):
+            continue
+        h_out = (h + pt + pb - k) // 2 + 1
+        w_out = (w + pl + pr - k) // 2 + 1
+        pb2 = h_out - (h // 2 + pt2 - k2 + 1)
+        pr2 = w_out - (w // 2 + pt2 - k2 + 1)
+        if pb2 < 0 or pr2 < 0 or pb2 >= k2 or pr2 >= k2:
+            continue
+        # Rearrange every weight-shaped param the same way (float or int8).
+        def rearrange(wt):
+            w2 = np.zeros((k2, k2, 4 * c) + wt.shape[3:], dtype=wt.dtype)
+            for dy in range(k):
+                uy = dy - pt
+                ay, ry = uy // 2 + pt2, uy % 2
+                for dx in range(k):
+                    ux = dx - pt
+                    ax, rx = ux // 2 + pt2, ux % 2
+                    blk = (ry * 2 + rx) * c
+                    w2[ay, ax, blk : blk + c] = wt[dy, dx]
+            return w2
+
+        for key in ("weight", "weight_q"):
+            if key in node.params:
+                node.params[key] = rearrange(np.asarray(node.params[key]))
+        s2d = Node(
+            f"{name}_s2d", "SpaceToDepth", [node.inputs[0]], {"scale": 2}
+        )
+        graph.add(s2d)
+        node.inputs = [s2d.name]
+        node.attrs["kernel_size"] = k2
+        node.attrs["stride"] = 1
+        node.attrs["padding"] = (pt2, pb2, pt2, pr2)
+        node.out_spec = None  # re-infer below
+        count += 1
+    if count:
+        graph.nodes = {n.name: n for n in graph.toposort()}
+        graph.infer_shapes()
+    return count
+
+
+def fold_deconv2_convs(graph: Graph) -> int:
+    """Rewrite each stride-2 SAME Conv2DTranspose as a stride-1 Conv2D
+    (out_channels x4, parity-rearranged weights) + Subpixel — exact.
+
+    Why: XLA lowers conv_transpose as an input-dilated conv, wasting 75%
+    of the MACs on inserted zeros at stride 2; the dense form also joins
+    the pallas chain format. Derivation (Keras scatter semantics
+    y[i] = sum_m x[m]·w[i-2m+pb], pb=(k-2)//2): output parity p selects
+    taps t = 2u+p+pb, giving per-parity correlations that combine into one
+    conv with kernel K[a] = w[2(pt2-a)+p+pb] (zero outside [0,k)), pads
+    (pt2, k2-1-pt2) with pt2 = max_p (k-1-p-pb)//2 and
+    k2 = pt2 + max_p (p+pb)//2 + 1; depth_to_space restores the geometry.
+    Per-output-channel epilogues (bias/BN/act/int8 scale) tile x4 since
+    they commute with depth_to_space.
+    """
+    from shadernn_tpu.ops.common import is_same_padding
+
+    count = 0
+    for name in list(graph.nodes):
+        node = graph.nodes[name]
+        if (
+            node.op != "Conv2DTranspose"
+            or int(node.attr("stride", 1)) != 2
+            or len(node.inputs) != 1
+            or not is_same_padding(node.attr("padding", "same"))
+        ):
+            continue
+        k = int(node.attr("kernel_size"))
+        if k < 2:
+            continue
+        pb = (k - 2) // 2
+        u_hi = [(k - 1 - p - pb) // 2 for p in (0, 1)]
+        u_lo = [-((p + pb) // 2) for p in (0, 1)]
+        pt2 = max(u_hi)
+        k2 = pt2 - min(u_lo) + 1
+        # Same pallas-regime gate as fold_stride2_convs: XLA's
+        # input-dilated conv_transpose wins once the MXU contraction is
+        # well-fed (measured: unet/styletransfer deconvs regressed when
+        # folded), so only fold into the small-channel chain window.
+        in_c = int(np.asarray(
+            node.params.get("weight", node.params.get("weight_q"))
+        ).shape[2])
+        o_gate = int(node.attr("out_channels"))
+        if not (2 <= k2 <= 4 and max(in_c, 4 * o_gate) <= 16):
+            continue
+
+        def rearrange(wt):
+            c, o = wt.shape[2], wt.shape[3]
+            w2 = np.zeros((k2, k2, c, 4 * o), dtype=wt.dtype)
+            for py in (0, 1):
+                for px in (0, 1):
+                    blk = (py * 2 + px) * o
+                    for ay in range(k2):
+                        ty = 2 * (pt2 - ay) + py + pb
+                        if not 0 <= ty < k:
+                            continue
+                        for ax in range(k2):
+                            tx = 2 * (pt2 - ax) + px + pb
+                            if 0 <= tx < k:
+                                w2[ay, ax, :, blk : blk + o] = wt[ty, tx]
+            return w2
+
+        o = int(node.attr("out_channels"))
+        conv = Node(
+            f"{name}_s1",
+            "Conv2D",
+            list(node.inputs),
+            {
+                "kernel_size": k2,
+                "stride": 1,
+                "padding": (pt2, k2 - 1 - pt2, pt2, k2 - 1 - pt2),
+                "out_channels": 4 * o,
+                "activation": node.attr("activation", "linear"),
+                "leaky_alpha": node.attr("leaky_alpha", 0.3),
+                "use_bias": node.attr("use_bias", True),
+                "use_batchnorm": node.attr("use_batchnorm", False),
+            },
+        )
+        for key in ("weight", "weight_q"):
+            if key in node.params:
+                conv.params[key] = rearrange(np.asarray(node.params[key]))
+        for key in ("bias", "weight_scale", "bn_gamma", "bn_beta",
+                    "bn_mean", "bn_variance"):
+            if key in node.params:
+                conv.params[key] = np.tile(np.asarray(node.params[key]), 4)
+        if "bn_epsilon" in node.attrs:
+            conv.attrs["bn_epsilon"] = node.attrs["bn_epsilon"]
+        graph.add(conv)
+        # the original node becomes the depth_to_space, keeping its name so
+        # consumers and output_names stay valid
+        node.op = "Subpixel"
+        node.inputs = [conv.name]
+        node.attrs = {"scale": 2}
+        node.params = {}
+        node.out_spec = None
+        count += 1
+    if count:
+        graph.nodes = {n.name: n for n in graph.toposort()}
+        graph.infer_shapes()
+    return count
+
+
 def _remove_passthrough(graph: Graph, names) -> None:
     """Remove single-input nodes, rewiring consumers to their producer."""
     for name in names:
@@ -194,7 +381,9 @@ def _remove_passthrough(graph: Graph, names) -> None:
         del graph.nodes[name]
 
 
-def optimize(graph: Graph, fold_bn: bool = True) -> Dict[str, int]:
+def optimize(
+    graph: Graph, fold_bn: bool = True, fold_stride2: bool = True
+) -> Dict[str, int]:
     """Run the standard pipeline; returns fusion counts for logging."""
     stats = {}
     if fold_bn:
@@ -202,4 +391,7 @@ def optimize(graph: Graph, fold_bn: bool = True) -> Dict[str, int]:
     stats["activation_fusions"] = fuse_activation_into_conv(graph)
     stats["pad_folds"] = fold_pad_into_conv(graph)
     stats["permuted_activation_fusions"] = fuse_activation_through_permutation(graph)
+    if fold_stride2:
+        stats["stride2_folds"] = fold_stride2_convs(graph)
+        stats["deconv2_folds"] = fold_deconv2_convs(graph)
     return stats

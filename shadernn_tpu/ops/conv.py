@@ -197,11 +197,16 @@ class Conv2D(OpDef):
         s = in_specs[0]
         k, st = int(node.attr("kernel_size")), int(node.attr("stride", 1))
         t_pad, b_pad, l_pad, r_pad = _conv_pads(node)
-        if k % 2 != 0:
-            tr = 1 + (t_pad + b_pad - k) / st
+        if isinstance(node.attr("padding", "same"), (list, tuple)):
+            # Explicit per-side pads (produced by the stride-2 folding
+            # pass): exact arithmetic, no reference Transform quirks.
+            tr_h = 1 + (t_pad + b_pad - k) / st
+            tr_w = 1 + (l_pad + r_pad - k) / st
+        elif k % 2 != 0:
+            tr_h = tr_w = 1 + (t_pad + b_pad - k) / st
         else:
-            tr = 1 + (t_pad + b_pad - 1 - k) / st
-        t = Transform(scale_w=1 / st, scale_h=1 / st, translate_w=tr, translate_h=tr)
+            tr_h = tr_w = 1 + (t_pad + b_pad - 1 - k) / st
+        t = Transform(scale_w=1 / st, scale_h=1 / st, translate_w=tr_w, translate_h=tr_h)
         h, w = transform_output_dims(t, in_specs)
         return s.with_shape((s.n, h, w, int(node.attr("out_channels"))))
 

@@ -113,3 +113,30 @@ class Subpixel(OpDef):
         x = x.reshape(n, h, w, r, r, co)
         x = x.transpose(0, 1, 3, 2, 4, 5)  # n, h, r, w, r, co
         return x.reshape(n, h * r, w * r, co)
+
+
+@register("SpaceToDepth")
+class SpaceToDepth(OpDef):
+    """Inverse of Subpixel (TF space_to_depth, block-major channel order:
+    out[..., (by*bs+bx)*C + c] = in[n, i*bs+by, j*bs+bx, c]).
+
+    Used by the stride-2 conv folding pass (graph/fusion.py): a stride-2
+    conv becomes SpaceToDepth + a stride-1 conv with block-rearranged
+    weights, making it eligible for the stride-1 pallas chain format.
+    """
+
+    def infer(self, node: Node, in_specs: Sequence[TensorSpec]) -> TensorSpec:
+        s = in_specs[0]
+        r = int(node.attr("scale", 2))
+        assert s.h % r == 0 and s.w % r == 0, (
+            f"SpaceToDepth: {s.h}x{s.w} not divisible by {r}"
+        )
+        return s.with_shape((s.n, s.h // r, s.w // r, s.c * r * r))
+
+    def run(self, node: Node, xs: List, ctx: RunCtx):
+        x = xs[0]
+        r = int(node.attr("scale", 2))
+        n, h, w, c = x.shape
+        x = x.reshape(n, h // r, r, w // r, r, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)  # n, h/r, w/r, by, bx, c
+        return x.reshape(n, h // r, w // r, c * r * r)

@@ -72,6 +72,13 @@ def nms_fixed(boxes, scores, classes, iou_threshold, score_threshold, max_det):
     Operates on a single sample; vmap over batch.
     """
     scores = jnp.where(scores >= score_threshold, scores, 0.0)
+    if scores.shape[0] < max_det:
+        # fewer candidates than max_det (tiny inputs): pad with empties so
+        # the (max_det, 6) output shape stays static
+        pad = max_det - scores.shape[0]
+        scores = jnp.pad(scores, (0, pad))
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        classes = jnp.pad(classes, (0, pad))
     top_scores, idx = jax.lax.top_k(scores, max_det)
     top_boxes = boxes[idx]
     top_classes = classes[idx]
