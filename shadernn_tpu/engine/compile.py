@@ -153,8 +153,28 @@ def build_forward(
                 run.append(nxt)
                 visited.add(nxt.name)
             if len(run) >= 2:
-                chains[node.name] = run
+                # Tail fusion: o=1 heads write 2D rows ("c1"); o=4 heads
+                # feeding a sole-consumer Subpixel(2) absorb the
+                # depth_to_space into the kernel ("d2s2"). Both skip the
+                # NHCW o_pad write amplification on the largest tensor.
+                tail, tail_node = "none", None
+                last = run[-1]
+                o_last = int(last.attr("out_channels"))
+                if o_last == 1:
+                    tail = "c1"
+                elif o_last == 4 and act_dtype == jnp.bfloat16:
+                    consumers = graph.consumers(last.name)
+                    if (
+                        last.name not in graph.output_names
+                        and len(consumers) == 1
+                        and consumers[0].op == "Subpixel"
+                        and int(consumers[0].attr("scale", 2)) == 2
+                    ):
+                        tail, tail_node = "d2s2", consumers[0]
+                chains[node.name] = (run, tail, tail_node)
                 skip_names.update(n.name for n in run[1:])
+                if tail_node is not None:
+                    skip_names.add(tail_node.name)
 
     def forward(params: Params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         from shadernn_tpu.kernels.chain_pallas import build_chain, fused_conv_chain
@@ -182,7 +202,7 @@ def build_forward(
                 sharding=options.sharding,
             )
             if node.name in chains:
-                run = chains[node.name]
+                run, tail, tail_node = chains[node.name]
                 v = xs[0]
                 views = [
                     _NodeView(n, params.get(n.name, {})) for n in run
@@ -197,13 +217,22 @@ def build_forward(
                     layer_params, specs = built
                     if specs[0].c_pad != 0 and not isinstance(v, HaloedValue):
                         v = to_haloed(v)
-                    env[run[-1].name] = fused_conv_chain(
-                        v, layer_params, specs, interpret=_interpret_mode()
+                    res = fused_conv_chain(
+                        v, layer_params, specs, interpret=_interpret_mode(),
+                        tail=tail,
                     )
+                    env[run[-1].name] = res
+                    if tail_node is not None:  # d2s2 absorbed the Subpixel
+                        env[tail_node.name] = res
                 else:  # VMEM/geometry gate: fall back to per-conv kernels
                     for nview in views:
                         v = conv_run_pallas_chain(nview, v, ctx)
                     env[run[-1].name] = v
+                    if tail_node is not None:  # run the Subpixel normally
+                        sview = _NodeView(tail_node, params.get(tail_node.name, {}))
+                        env[tail_node.name] = get_op("Subpixel").run(
+                            sview, [nhwc(v)], ctx
+                        )
                 continue
             # Single haloed conv (chain of one)
             if (

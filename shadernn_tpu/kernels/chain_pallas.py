@@ -90,6 +90,7 @@ def _chain_kernel(
     hp_in: int,
     first_2d: bool,
     compute_dtype,
+    tail: str,  # "none" | "c1" | "d2s2" (see fused_conv_chain)
 ):
     nlayers = len(specs)
     w_refs = refs[0:nlayers]
@@ -210,15 +211,41 @@ def _chain_kernel(
             row_mask = ((g0 + rid >= MH) & (g0 + rid < MH + h_list[l])).astype(
                 jnp.float32
             )
-            y = (y * (row_mask * lane_mask)).astype(
-                out_ref.dtype if last else compute_dtype
-            )
-            for rr in range(r):
-                blk = y[rr * spec.o_pad : (rr + 1) * spec.o_pad]
-                if last:
-                    out_ref[0, j0 + rr] = blk
-                else:
-                    layer_scratch[l][j0 + rr] = blk
+            y = y * (row_mask * lane_mask)
+            if last and tail == "c1":
+                # 2D-row tail: single-channel output written as (Th, Wp)
+                # rows, skipping the o_pad channel padding entirely.
+                yc = y.astype(out_ref.dtype)
+                for rr in range(r):
+                    out_ref[0, j0 + rr] = yc[rr * spec.o_pad]
+            elif last and tail == "d2s2":
+                # Fused depth_to_space(2) tail for o=4 -> 1 heads: channel
+                # (py*2+px) lands at output (2g+py, 2i+px). Lane interleave
+                # via bf16-pair bitcast into one uint32 lane (little-endian:
+                # low half = even lane).
+                yb = y.astype(jnp.bfloat16)
+
+                def pack(u, v):
+                    u16 = jax.lax.bitcast_convert_type(u, jnp.uint16)
+                    v16 = jax.lax.bitcast_convert_type(v, jnp.uint16)
+                    return u16.astype(jnp.uint32) | (
+                        v16.astype(jnp.uint32) << 16
+                    )
+
+                for rr in range(r):
+                    base = rr * spec.o_pad
+                    top = pack(yb[base : base + 1], yb[base + 1 : base + 2])
+                    bot = pack(yb[base + 2 : base + 3], yb[base + 3 : base + 4])
+                    out_ref[0, 2 * (j0 + rr)] = top[0]
+                    out_ref[0, 2 * (j0 + rr) + 1] = bot[0]
+            else:
+                yc = y.astype(out_ref.dtype if last else compute_dtype)
+                for rr in range(r):
+                    blk = yc[rr * spec.o_pad : (rr + 1) * spec.o_pad]
+                    if last:
+                        out_ref[0, j0 + rr] = blk
+                    else:
+                        layer_scratch[l][j0 + rr] = blk
 
 
 def fused_conv_chain(
@@ -228,8 +255,19 @@ def fused_conv_chain(
     *,
     block_rows: int = 8,
     interpret: bool = False,
-) -> HaloedValue:
-    """Run the whole chain. Returns the final layer's HaloedValue."""
+    tail: str = "none",
+):
+    """Run the whole chain.
+
+    tail:
+      - "none": return the final layer's HaloedValue (o_pad channels).
+      - "c1":   final layer has o=1; write single-channel 2D rows and
+                return NHWC (N, H, W, 1) directly — skips the 16x o_pad
+                write amplification of the NHCW format.
+      - "d2s2": final layer has o=4 feeding depth_to_space(2); fuse the
+                subpixel into the kernel (bf16 lane pairs packed as
+                uint32) and return NHWC (N, 2H, 2W, 1).
+    """
     nlayers = len(specs)
     th = block_rows
     assert th == MH
@@ -276,13 +314,19 @@ def fused_conv_chain(
         for i, s in enumerate(specs)
     )
 
+    assert tail in ("none", "c1", "d2s2")
+    if tail == "c1":
+        assert specs[-1].o == 1
+    if tail == "d2s2":
+        assert specs[-1].o == 4 and compute_dtype == jnp.bfloat16
+
     kernel = functools.partial(
         _chain_kernel,
         specs=tuple(specs),
         th=th, wp=wp, h_list=tuple(h_list), w_list=tuple(w_list),
         a_offsets=tuple(a_off), rows_list=tuple(rows_list),
         n_h_tiles=n_h_tiles, hp_in=hp_in, first_2d=first_2d,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, tail=tail,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
@@ -314,23 +358,50 @@ def fused_conv_chain(
     scratches.append(pltpu.VMEM((max_k, wp), compute_dtype))
     scratches.append(pltpu.SemaphoreType.DMA((2,)))
 
+    if tail == "c1":
+        out_specs = pl.BlockSpec(
+            (1, th, wp), lambda ni, hi: (ni, hi, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (xp.shape[0], hp_out, wp), compute_dtype
+        )
+    elif tail == "d2s2":
+        out_specs = pl.BlockSpec(
+            (1, 2 * th, wp), lambda ni, hi: (ni, hi, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (xp.shape[0], 2 * hp_out, wp), jnp.uint32
+        )
+    else:
+        out_specs = pl.BlockSpec(
+            (1, th, o_last, wp), lambda ni, hi: (ni, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (xp.shape[0], hp_out, o_last, wp), compute_dtype
+        )
     out = pl.pallas_call(
         kernel,
         grid=(xp.shape[0], n_h_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, th, o_last, wp), lambda ni, hi: (ni, hi, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (xp.shape[0], hp_out, o_last, wp), compute_dtype
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratches,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(*operands)
+    if tail == "c1":
+        return out[:, MH : MH + h_out, ML : ML + w_out][..., None]
+    if tail == "d2s2":
+        half = jax.lax.bitcast_convert_type(out, jnp.bfloat16)
+        # (N, 2Hp, Wp, 2) -> interleaved lanes (N, 2Hp, 2Wp)
+        half = half.reshape(out.shape[0], out.shape[1], 2 * wp)
+        return half[
+            :, 2 * MH : 2 * (MH + h_out), 2 * ML : 2 * (ML + w_out)
+        ][..., None]
     return HaloedValue(out, h_out, w_out, specs[-1].o)
 
 

@@ -141,3 +141,45 @@ def test_pallas_fused_matmul_direct(rng, fp32_threshold):
     )
     want = 1 / (1 + np.exp(-((x @ w) * scale + offset)))
     oracle.compare(got, want, fp32_threshold, "fused-matmul")
+
+
+def test_chain_tail_c1(rng, fp32_threshold):
+    """o=1 chain head writes the 2D-row tail; matches the XLA backend."""
+    from shadernn_tpu.config import BackendKind, EngineOptions, Precision
+    from shadernn_tpu.engine.engine import Engine
+    from shadernn_tpu.models import build_model
+
+    x = rng.random((2, 24, 32, 1), dtype=np.float32)
+    want = np.asarray(Engine.from_graph(
+        build_model("spatialdenoise", h=24, w=32, features=8, depth=3),
+        EngineOptions(precision=Precision.FP32, backend=BackendKind.XLA,
+                      batch_size=2),
+    ).run_single(x))
+    got = np.asarray(Engine.from_graph(
+        build_model("spatialdenoise", h=24, w=32, features=8, depth=3),
+        EngineOptions(precision=Precision.FP32, backend=BackendKind.PALLAS,
+                      batch_size=2),
+    ).run_single(x))
+    oracle.compare(got, want, fp32_threshold, "chain-tail-c1")
+
+
+def test_chain_tail_d2s2(rng, fp16_threshold):
+    """ESPCN bf16: the fused depth_to_space tail (uint32 lane pairs)
+    matches the XLA backend within the bf16 tolerance."""
+    from shadernn_tpu.config import BackendKind, EngineOptions, Precision
+    from shadernn_tpu.engine.engine import Engine
+    from shadernn_tpu.models import build_model
+
+    x = rng.random((2, 24, 32, 1), dtype=np.float32)
+    want = np.asarray(Engine.from_graph(
+        build_model("espcn", h=24, w=32),
+        EngineOptions(precision=Precision.FP32, backend=BackendKind.XLA,
+                      batch_size=2),
+    ).run_single(x))
+    got = np.asarray(Engine.from_graph(
+        build_model("espcn", h=24, w=32),
+        EngineOptions(precision=Precision.BF16, backend=BackendKind.PALLAS,
+                      batch_size=2),
+    ).run_single(x))
+    assert got.shape == want.shape == (2, 48, 64, 1)
+    oracle.compare(got, want, fp16_threshold, "chain-tail-d2s2")
