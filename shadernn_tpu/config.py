@@ -89,7 +89,10 @@ class EngineOptions:
     """
 
     precision: Precision = Precision.FP32
-    backend: BackendKind = BackendKind.XLA
+    # AUTO picks the fused Pallas path per layer on TPU and plain XLA
+    # elsewhere (the analog of the reference choosing fragment vs compute
+    # shader per layer at context creation, backendBuilder.cpp:28-50).
+    backend: BackendKind = BackendKind.AUTO
     # Per-layer backend override: node name -> BackendKind.
     backend_overrides: Optional[dict] = None
     batch_size: int = 1

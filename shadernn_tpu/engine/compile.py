@@ -13,6 +13,7 @@ intermediate "textures" are XLA temporaries.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -86,6 +87,14 @@ def resolve_backend(node: Node, graph: Graph, options: EngineOptions) -> Backend
     configured = options.backend_for(node.name)
     if configured != BackendKind.AUTO:
         return configured
+    if jax.default_backend() != "tpu" and not os.environ.get(
+        "SNN_AUTO_PALLAS_ANYWHERE"
+    ):
+        # Off-TPU the Pallas kernels only run in interpret mode (test-only,
+        # orders of magnitude slower) — AUTO means XLA there. Tests that
+        # want the interpret path set SNN_AUTO_PALLAS_ANYWHERE=1 or request
+        # BackendKind.PALLAS explicitly.
+        return BackendKind.XLA
     if options.sharding.is_sharded:
         # Pallas kernels are not GSPMD-partitionable; sharded graphs stay
         # on XLA (the explicit shard_map halo path is separate).

@@ -39,6 +39,7 @@ class Engine:
         self.model = model
         self.stats = TimingStats()
         self._runs = 0
+        self._seen_batches: set = set()
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -84,6 +85,35 @@ class Engine:
     def options(self) -> EngineOptions:
         return self.model.options
 
+    def _check_inputs(self, inputs: Dict[str, np.ndarray]) -> None:
+        """Fail loudly on wrong frame shapes instead of silently retracing.
+
+        The engine is fixed-shape like the reference core (textures are
+        allocated once per graph, core.cpp:355-399): per-frame dims
+        (H, W, C) must match the compiled specs exactly; a different batch
+        size is allowed but triggers an XLA recompile, so warn once.
+        """
+        for name, spec in self.model.input_specs.items():
+            if name not in inputs:
+                raise KeyError(
+                    f"missing input '{name}'; expected inputs "
+                    f"{sorted(self.model.input_specs)}"
+                )
+            got = tuple(np.shape(inputs[name]))
+            if len(got) != len(spec) or got[1:] != tuple(spec[1:]):
+                raise ValueError(
+                    f"input '{name}' has shape {got}, but the engine was "
+                    f"compiled for (N, *{tuple(spec[1:])}); rebuild the "
+                    f"graph (e.g. build_model(..., h=, w=)) for other sizes"
+                )
+            if got[0] != spec[0] and got[0] not in self._seen_batches:
+                self._seen_batches.add(got[0])
+                logger.warning(
+                    "input '%s' batch %d != compiled batch %d: recompiling "
+                    "(first call at this batch size will be slow)",
+                    name, got[0], spec[0],
+                )
+
     def run(self, inputs: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         """One engine step over a batch of frames, timed.
 
@@ -91,6 +121,7 @@ class Engine:
         the result — the per-frame latency the reference reports
         (inferenceProcessor.cpp:94-120).
         """
+        self._check_inputs(inputs)
         self.stats.total.start()
         dev_inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
         outs = self.model(dev_inputs)

@@ -141,20 +141,18 @@ def make_halo_conv(
 
     Returns conv(x_global, w, stride, pads) operating on H-sharded NHWC.
     """
-    from jax.experimental.shard_map import shard_map
-
     def conv(x, w, pads: Tuple[int, int, int, int]):
         body = functools.partial(
             halo_conv2d_shard,
             pads=tuple(pads), axis_name=axis_name,
             overlap=overlap,
         )
-        return shard_map(
+        return jax.shard_map(
             lambda xl, wl: body(xl, wl),
             mesh=mesh,
             in_specs=(P(None, axis_name, None, None), P()),
             out_specs=P(None, axis_name, None, None),
-            check_rep=False,
+            check_vma=False,
         )(x, w)
 
     return conv

@@ -146,7 +146,10 @@ class PipelinedEngine:
                         env[node.name] = get_op(node.op).run(view, xs, ctx)
                     return {k: env[k] for k in stage.produces}
 
-                return jax.jit(run, device=dev)
+                # No jit device= pin (deprecated): params and the staged
+                # inputs are committed to this stage's device via
+                # device_put, so placement follows the operands.
+                return jax.jit(run)
 
             stage.fn = make_fn(stage)
         logger.info(

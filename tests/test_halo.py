@@ -67,7 +67,6 @@ def test_halo_conv_chain(rng, fp32_threshold):
 
 def test_halo_exchange_edge_zeros(rng):
     """Edge shards must see zero halos (global zero padding)."""
-    from jax.experimental.shard_map import shard_map
     from shadernn_tpu.parallel.halo import halo_exchange
 
     mesh = _mesh(4)
@@ -75,12 +74,12 @@ def test_halo_exchange_edge_zeros(rng):
     xs = jax.device_put(
         jnp.asarray(x), NamedSharding(mesh, P(None, "spatial", None, None))
     )
-    f = shard_map(
+    f = jax.shard_map(
         lambda a: halo_exchange(a, 1, 1, "spatial"),
         mesh=mesh,
         in_specs=P(None, "spatial", None, None),
         out_specs=P(None, "spatial", None, None),
-        check_rep=False,
+        check_vma=False,
     )
     y = np.asarray(f(xs))  # (1, 4*(2+2), 4, 2)
     shard0 = y[:, 0:4]

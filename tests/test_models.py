@@ -80,3 +80,21 @@ def test_espcn_low_precision(precision):
     x = np.random.default_rng(0).random((1, 32, 48, 1), dtype=np.float32)
     y = np.asarray(eng.run_single(x))
     assert y.shape == (1, 64, 96, 1)
+
+
+def test_engine_rejects_wrong_input_shape():
+    """Fixed-shape engine: wrong (H, W, C) raises instead of silently
+    retracing; a wrong input name raises KeyError."""
+    from shadernn_tpu.engine.engine import Engine
+
+    g = build_model("espcn", h=32, w=48)
+    eng = Engine.from_graph(g, EngineOptions())
+    with pytest.raises(ValueError, match="compiled for"):
+        eng.run({"input": np.zeros((1, 48, 32, 1), np.float32)})
+    with pytest.raises(ValueError, match="compiled for"):
+        eng.run({"input": np.zeros((1, 32, 48), np.float32)})
+    with pytest.raises(KeyError, match="missing input"):
+        eng.run({"frames": np.zeros((1, 32, 48, 1), np.float32)})
+    # different batch size is allowed (recompile, warned once)
+    y = eng.run({"input": np.zeros((2, 32, 48, 1), np.float32)})
+    assert np.asarray(y[g.output_names[0]]).shape == (2, 64, 96, 1)

@@ -61,11 +61,13 @@ def test_run_model_with_image(tmp_path, rng):
     assert result["output_shape"] == (1, 10)
 
 
-def test_auto_backend_resolution():
+def test_auto_backend_resolution(monkeypatch):
     from shadernn_tpu.config import EngineOptions
     from shadernn_tpu.engine.compile import resolve_backend
     from shadernn_tpu.models import build_model
 
+    # off-TPU, AUTO means XLA unless the interpret path is requested
+    monkeypatch.setenv("SNN_AUTO_PALLAS_ANYWHERE", "1")
     g = build_model("espcn", h=16, w=24)
     g.infer_shapes()
     opts = EngineOptions(backend=BackendKind.AUTO)
@@ -81,9 +83,11 @@ def test_auto_backend_resolution():
     assert all(resolve_backend(n, g2, opts) == BackendKind.XLA for n in wide)
 
 
-def test_auto_backend_numerics(rng, fp32_threshold):
+def test_auto_backend_numerics(rng, fp32_threshold, monkeypatch):
     """AUTO must match XLA numerics end-to-end."""
     import oracle
+
+    monkeypatch.setenv("SNN_AUTO_PALLAS_ANYWHERE", "1")
     from shadernn_tpu.config import EngineOptions
     from shadernn_tpu.engine.compile import compile_graph
     from shadernn_tpu.models import build_model
