@@ -172,15 +172,20 @@ class Engine:
         looped = jax.jit(loop_fn)
         dev_inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
         float(looped(self.model.params, dev_inputs))  # compile + warm
-        best = float("inf")
+        import time as _time
+
+        times = []
         for _ in range(repeats):
-            t0 = __import__("time").perf_counter()
+            t0 = _time.perf_counter()
             float(looped(self.model.params, dev_inputs))
-            best = min(best, __import__("time").perf_counter() - t0)
+            times.append(_time.perf_counter() - t0)
         batch = next(iter(dev_inputs.values())).shape[0]
-        per_iter = best / iters
+        per_iter = min(times) / iters
+        p50 = sorted(times)[len(times) // 2] / iters
         return {
             "mean_ms": 1e3 * per_iter,
+            "p50_ms": 1e3 * p50,
+            "p50_ms_per_frame": 1e3 * p50 / batch,
             "frames_per_sec": batch / per_iter,
             "iters": iters,
             "batch": batch,
