@@ -97,6 +97,11 @@ class EngineOptions:
     backend_overrides: Optional[dict] = None
     batch_size: int = 1
     sharding: ShardingOptions = dataclasses.field(default_factory=ShardingOptions)
+    # How sharded graphs are compiled: "shard_map" (explicit SPMD: ppermute
+    # halo exchange, all_gather TP epilogues, Pallas kernels kept per-shard)
+    # or "gspmd" (XLA auto-partitioning; drops Pallas and disables TP under
+    # SP due to a jax-0.9 GSPMD conv miscompile — kept as a baseline).
+    spmd_mode: str = "shard_map"
     # Fold BatchNorm into preceding conv weights at load (the reference
     # fuses BN into the conv shader epilogue: conv2dGL.cpp:666-747).
     fold_batchnorm: bool = True

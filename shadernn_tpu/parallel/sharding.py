@@ -91,7 +91,17 @@ def shard_compiled(
     forward: Callable,
     mesh: Mesh,
 ):
-    """jit the forward fn with mesh shardings. Returns a CompiledModel."""
+    """jit the forward fn with mesh shardings. Returns a CompiledModel.
+
+    Default route is the explicit shard_map executor (parallel/spmd.py):
+    TP stays on under SP and Pallas kernels survive sharding. The GSPMD
+    auto-partitioning path below remains available via
+    EngineOptions(spmd_mode="gspmd") as a baseline/cross-check.
+    """
+    if options.spmd_mode == "shard_map":
+        from shadernn_tpu.parallel.spmd import shard_compiled_spmd
+
+        return shard_compiled_spmd(graph, options, params, mesh)
     from shadernn_tpu.engine.compile import CompiledModel
 
     opts = options.sharding
