@@ -1,11 +1,20 @@
 #!/usr/bin/env python
 """Benchmark CLI. Prints ONE JSON line for the driver:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Headline metric: ESPCN 2x 540p frames/sec/chip (BASELINE.json configs[0]).
 vs_baseline compares against the reference's only published figure: 775.194
 ms per ESPCN_2X inference on its target phone GPU
 (docs/Developer-Guide/Benchmarking.md:25-45) = 1.29 frames/s.
+
+The "extra" dict carries the other BASELINE.md gates: MobileNetV2-INT8
+frames/sec/chip, p50 per-frame latency, compile time, and the measured
+Pallas-kernel roofline fractions (true-FLOP accounting).
+
+Measurement protocol: `Engine.trace_benchmark` reads each step's device
+execution window from a jax profiler trace (in-situ, immune to the remote
+-tunnel host<->device link); falls back to the device-side fori_loop
+protocol (`Engine.device_benchmark`) if trace capture is unavailable.
 
 Flag surface follows the reference test binaries (--use_half -> --precision,
 --inner_loops, --dump_outputs; inferenceProcessorTest.cpp:95-106).
@@ -22,15 +31,18 @@ import time
 import numpy as np
 
 # Persistent XLA compilation cache: kernel-heavy models recompile in
-# seconds instead of minutes on repeat runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+# seconds instead of minutes on repeat runs. Repo-local so driver runs
+# on the same checkout start warm.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REFERENCE_ESPCN_MS = 775.194  # docs/Developer-Guide/Benchmarking.md:25
 
 
 def bench_model(name: str, precision: str, batch: int, loops: int, log,
-                backend_name: str = "auto", **build_kwargs):
+                backend_name: str = "auto", protocol: str = "trace",
+                **build_kwargs):
     import shadernn_tpu as snn
     from shadernn_tpu.models import build_model
 
@@ -45,13 +57,71 @@ def bench_model(name: str, precision: str, batch: int, loops: int, log,
     )
     in_spec = graph.nodes[graph.input_names[0]].out_spec.shape
     x = np.random.default_rng(0).random((batch, *in_spec[1:]), dtype=np.float32)
-    # Device-loop timing: host wall-clock is unreliable over remote-tunnel
-    # PJRT (block_until_ready returns early; fetches are link-bound), so
-    # time `loops` chained forward passes on device and fetch one scalar.
-    stats = eng.device_benchmark({graph.input_names[0]: x}, iters=loops)
-    stats["compile_s"] = round(time.time() - t0 - stats["mean_ms"] * loops / 1e3, 1)
-    log(f"{name} {precision} b{batch}: {stats}")
+    inputs = {graph.input_names[0]: x}
+    stats = None
+    if protocol == "trace":
+        try:
+            tstats = eng.trace_benchmark(inputs, steps=loops)
+            report = tstats.pop("report")
+            stats = {
+                "mean_ms": tstats["device_ms_per_step"],
+                "p50_ms": tstats["device_ms_per_step"],
+                "p50_ms_per_frame": tstats["device_ms_per_frame"],
+                "frames_per_sec": tstats["frames_per_sec"],
+                "iters": tstats["steps"],
+                "batch": batch,
+                "protocol": "trace",
+            }
+            stats["_report"] = report
+        except Exception as e:  # trace capture unavailable: fall back
+            log(f"{name}: trace protocol failed ({type(e).__name__}: {e}); "
+                "falling back to device loop")
+    if stats is None:
+        stats = eng.device_benchmark(inputs, iters=loops)
+        stats["protocol"] = "loop"
+    stats["compile_s"] = round(
+        time.time() - t0 - stats["mean_ms"] * loops / 1e3, 1
+    )
+    loggable = {k: v for k, v in stats.items() if not k.startswith("_")}
+    log(f"{name} {precision} b{batch}: {loggable}")
+    stats["_graph"] = graph
     return stats
+
+
+def _chain_roofline(stats, log) -> dict:
+    """Measured roofline fractions for the Pallas chain kernels, true-FLOP
+    accounting (BASELINE.md >=80% gate; see DEVNOTES.md for the bound
+    analysis). Uses XLA's in-situ custom-call timings from the trace."""
+    report = stats.get("_report")
+    graph = stats.get("_graph")
+    if report is None or graph is None:
+        return {}
+    from shadernn_tpu.ops.registry import get_op
+    from shadernn_tpu.utils.profiler import PEAK_FLOPS, PEAK_HBM_GBS
+
+    # true flops of the conv chain (all Conv2D nodes; ESPCN is one chain)
+    conv_flops = 0
+    for n in graph.nodes.values():
+        if n.op == "Conv2D":
+            in_specs = [graph.nodes[i].out_spec for i in n.inputs]
+            conv_flops += get_op(n.op).flops(n, in_specs)
+    kernels = [o for o in report.ops
+               if o.category == "custom-call" or o.name.startswith("forward")]
+    if not kernels:
+        return {}
+    k_us = sum(o.us for o in kernels)
+    tflops = conv_flops / (k_us * 1e-6) / 1e12 if k_us else 0.0
+    frac = tflops * 1e12 / PEAK_FLOPS["bfloat16"]
+    # memory side: bytes in+out of the kernels per step
+    k_bytes = sum(o.bytes_accessed for o in kernels)
+    gbs = k_bytes / (k_us * 1e-6) / 1e9 if k_us else 0.0
+    out = {
+        "chain_kernel_ms": round(k_us / 1e3, 4),
+        "chain_kernel_tflops_true": round(tflops, 2),
+        "chain_kernel_roofline_pct": round(100 * max(frac, gbs / PEAK_HBM_GBS), 1),
+    }
+    log(f"chain kernel roofline: {out}")
+    return out
 
 
 def main():
@@ -61,6 +131,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--inner_loops", type=int, default=30)
     ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--protocol", default="trace", choices=["trace", "loop"])
+    ap.add_argument("--skip_secondary", action="store_true",
+                    help="headline model only (skip mobilenetv2-int8)")
     ap.add_argument("--all", action="store_true", help="bench every zoo model (extra lines to stderr)")
     args = ap.parse_args()
 
@@ -79,15 +152,38 @@ def main():
             if name == "unet":
                 kw = {"base_filters": 32}
             try:
-                bench_model(name, args.precision, args.batch, args.inner_loops, log, args.backend, **kw)
+                bench_model(name, args.precision, args.batch, args.inner_loops,
+                            log, args.backend, args.protocol, **kw)
             except Exception as e:  # keep going; report the failure
                 log(f"{name}: FAILED {type(e).__name__}: {e}")
 
+    extra = {}
+    # Secondary headline: MobileNetV2 INT8 (BASELINE.md metric row 2).
+    if not args.skip_secondary and args.model == "espcn":
+        try:
+            mstats = bench_model("mobilenetv2", "int8", args.batch,
+                                 args.inner_loops, log, args.backend,
+                                 args.protocol)
+            extra["mobilenetv2_int8_frames_per_sec_per_chip"] = round(
+                mstats["frames_per_sec"], 1)
+            extra["mobilenetv2_int8_p50_ms_per_frame"] = round(
+                mstats.get("p50_ms_per_frame",
+                           mstats["mean_ms"] / args.batch), 4)
+            extra["mobilenetv2_compile_s"] = mstats["compile_s"]
+        except Exception as e:
+            log(f"mobilenetv2 secondary FAILED {type(e).__name__}: {e}")
+
     # Headline: ESPCN 540p, per-chip frames/s.
     stats = bench_model(
-        args.model, args.precision, args.batch, args.inner_loops, log, args.backend
+        args.model, args.precision, args.batch, args.inner_loops, log,
+        args.backend, args.protocol,
     )
     fps = stats["frames_per_sec"]
+    extra.update(_chain_roofline(stats, log))
+    extra["p50_ms_per_frame"] = round(
+        stats.get("p50_ms_per_frame", stats["mean_ms"] / args.batch), 4)
+    extra["compile_s"] = stats["compile_s"]
+    extra["protocol"] = stats.get("protocol", "loop")
     print(
         json.dumps(
             {
@@ -95,6 +191,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / (1e3 / REFERENCE_ESPCN_MS), 1),
+                "extra": extra,
             }
         )
     )

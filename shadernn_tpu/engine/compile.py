@@ -264,6 +264,13 @@ def build_forward(
             }
         return outs
 
+    # Expose the static chain plan (head -> fused layer names) so the
+    # in-situ trace profiler can attribute Pallas custom-call events to
+    # layer chains (utils/trace_profile.py).
+    forward.chain_plan = {
+        head: [n.name for n in run] + ([tail_node.name] if tail_node else [])
+        for head, (run, _tail, tail_node) in chains.items()
+    }
     return forward
 
 

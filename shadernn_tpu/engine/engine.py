@@ -191,6 +191,46 @@ class Engine:
             "batch": batch,
         }
 
+    def trace_benchmark(
+        self, inputs: Dict[str, np.ndarray], steps: int = 20
+    ) -> dict:
+        """In-situ device-time benchmark via the jax profiler trace.
+
+        Submits `steps` compiled steps back-to-back and reads each step's
+        actual device execution window from the trace — the ground-truth
+        per-step chip time (the fori_loop protocol in device_benchmark
+        adds per-iteration perturbation/reduction work that inflates small
+        models ~3x; the reference's DeviceTimer measured in-situ for the
+        same reason, deviceTimer.h:20-51). Returns step stats plus the
+        parsed per-op report under "report".
+        """
+        import tempfile
+
+        from shadernn_tpu.utils.trace_profile import parse_trace_dir
+
+        dev_inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        jax.block_until_ready(self.model(dev_inputs))  # compile + warm
+        trace_dir = tempfile.mkdtemp(prefix="snn_bench_trace_")
+        with jax.profiler.trace(trace_dir):
+            out = None
+            for _ in range(steps):
+                out = self.model(dev_inputs)
+            jax.block_until_ready(out)
+        prec = {"fp32": "float32", "bf16": "bfloat16", "int8": "bfloat16"}[
+            self.options.precision.value
+        ]
+        report = parse_trace_dir(trace_dir, steps, precision=prec)
+        batch = next(iter(dev_inputs.values())).shape[0]
+        ms = report.e2e_us / 1e3
+        return {
+            "device_ms_per_step": ms,
+            "device_ms_per_frame": ms / batch,
+            "frames_per_sec": batch / (ms / 1e3) if ms else 0.0,
+            "steps": report.steps,
+            "batch": batch,
+            "report": report,
+        }
+
     # -- reporting ---------------------------------------------------------
     def time_report(self) -> str:
         return self.stats.report(warmup=self.options.warmup_loops)
