@@ -185,6 +185,37 @@ def build_forward(
                 if tail_node is not None:
                     skip_names.add(tail_node.name)
 
+    # --- fused inverted-residual block planning (static) -------------------
+    # [expand 1x1] -> depthwise 3x3 s1 -> project 1x1 [-> residual Add] runs
+    # as ONE pallas kernel (kernels/block_pallas.py), the expanded tensors
+    # never touching HBM. Keyed by head node (expand, or dw when t=1).
+    blocks: Dict[str, tuple] = {}
+    if options.sharding.total_devices == 1 and not options.dump_outputs:
+        from shadernn_tpu.kernels.block_pallas import match_invres_block
+
+        def _invres_backend_ok(dw_node: Node) -> bool:
+            configured = options.backend_for(dw_node.name)
+            if configured == BackendKind.PALLAS:
+                return True
+            return configured == BackendKind.AUTO and (
+                jax.default_backend() == "tpu"
+                or bool(os.environ.get("SNN_AUTO_PALLAS_ANYWHERE"))
+            )
+
+        for node in order:
+            if node.op != "SeparableConv2D" or not _invres_backend_ok(node):
+                continue
+            m = match_invres_block(graph, node, options)
+            if m is None:
+                continue
+            expand, dw, project, add = m
+            head = expand if expand is not None else dw
+            members = [n for n in m if n is not None]
+            if any(n.name in skip_names or n.name in chains for n in members):
+                continue
+            blocks[head.name] = m
+            skip_names.update(n.name for n in members if n is not head)
+
     def forward(params: Params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         from shadernn_tpu.kernels.chain_pallas import build_chain, fused_conv_chain
         from shadernn_tpu.kernels.conv_pallas import (
@@ -210,6 +241,42 @@ def build_forward(
                 backend=resolve_backend(node, graph, options),
                 sharding=options.sharding,
             )
+            if node.name in blocks:
+                from shadernn_tpu.kernels.block_pallas import (
+                    build_invres, fused_invres_block,
+                )
+
+                expand, dw, project, add = blocks[node.name]
+                views = [
+                    _NodeView(n, params.get(n.name, {})) if n is not None else None
+                    for n in (expand, dw, project, add)
+                ]
+                head = expand if expand is not None else dw
+                in_spec = graph.nodes[head.inputs[0]].out_spec
+                built = build_invres(views, in_spec, act_dtype, batch=in_spec.n)
+                out_node = add if add is not None else project
+                res = None
+                if built is not None:
+                    operands, spec = built
+                    res = fused_invres_block(
+                        nhwc(xs[0]), *operands, spec,
+                        interpret=_interpret_mode(),
+                    )
+                if res is not None:
+                    env[out_node.name] = res
+                    continue
+                # VMEM gate failed: run the member ops unfused on XLA.
+                v = nhwc(xs[0])
+                skip_in = v
+                for nview in views:
+                    if nview is None:
+                        continue
+                    if nview.op == "Add":
+                        v = get_op("Add").run(nview, [skip_in, v], ctx)
+                    else:
+                        v = get_op(nview.op).run(nview, [v], ctx)
+                env[out_node.name] = v
+                continue
             if node.name in chains:
                 run, tail, tail_node = chains[node.name]
                 v = xs[0]
@@ -270,6 +337,10 @@ def build_forward(
     forward.chain_plan = {
         head: [n.name for n in run] + ([tail_node.name] if tail_node else [])
         for head, (run, _tail, tail_node) in chains.items()
+    }
+    forward.block_plan = {
+        head: [n.name for n in members if n is not None]
+        for head, members in blocks.items()
     }
     return forward
 
