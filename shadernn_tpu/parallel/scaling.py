@@ -74,6 +74,33 @@ def measure_scaling(
     return results
 
 
+def run_multihost_smoke(nproc: int = 2) -> int:
+    """Spawn `nproc` CPU processes of the multihost worker (gloo
+    collectives) and run the cross-host DP smoke — the CI form of the
+    BASELINE 1->2 host scaling step. Returns a shell exit code."""
+    import os
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "shadernn_tpu.parallel.multihost",
+             str(pid), str(nproc), str(port)],
+            env=env,
+        )
+        for pid in range(nproc)
+    ]
+    rc = max(p.wait() for p in procs)
+    print(json.dumps({"multihost_smoke": "ok" if rc == 0 else "FAILED",
+                      "processes": nproc}))
+    return rc
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="espcn")
@@ -81,7 +108,11 @@ def main(argv=None):
     ap.add_argument("--per-device-batch", type=int, default=2)
     ap.add_argument("--precision", default="bf16", choices=["fp32", "bf16", "int8"])
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--multihost", action="store_true",
+                    help="run the 2-process cross-host smoke instead")
     args = ap.parse_args(argv)
+    if args.multihost:
+        return run_multihost_smoke()
     prec = {"fp32": Precision.FP32, "bf16": Precision.BF16,
             "int8": Precision.INT8}[args.precision]
     counts = [int(x) for x in args.devices.split(",")]
