@@ -216,7 +216,7 @@ def build_forward(
             blocks[head.name] = m
             skip_names.update(n.name for n in members if n is not head)
 
-    def forward(params: Params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    def _forward_impl(params: Params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         from shadernn_tpu.kernels.chain_pallas import build_chain, fused_conv_chain
         from shadernn_tpu.kernels.conv_pallas import (
             HaloedValue, from_haloed, to_haloed,
@@ -330,6 +330,16 @@ def build_forward(
                 if n.op != "InputLayer"
             }
         return outs
+
+    def forward(params: Params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        if act_dtype == jnp.float32:
+            # TPU MXU defaults to one bf16 pass even for f32 operands
+            # (~1e-3 error). FP32 mode promises fp32-grade results (the
+            # reference's fp32 shaders are exact), so trace every dot/conv
+            # at HIGHEST (3-pass bf16x3) precision.
+            with jax.default_matmul_precision("highest"):
+                return _forward_impl(params, inputs)
+        return _forward_impl(params, inputs)
 
     # Expose the static chain plan (head -> fused layer names) so the
     # in-situ trace profiler can attribute Pallas custom-call events to

@@ -68,12 +68,15 @@ class Engine:
         path: Union[str, os.PathLike],
         options: Optional[EngineOptions] = None,
         mesh=None,
+        input_hw: Optional[tuple] = None,
     ) -> "Engine":
         """Load a ShaderNN-format model artifact (JSON or _layers.json +
-        _weights.bin pair — reference modelparser.cpp:238-260)."""
+        _weights.bin pair — reference modelparser.cpp:238-260). `input_hw`
+        re-targets the artifact to another frame size (weights are
+        size-agnostic; the reference's processor resize path)."""
         from shadernn_tpu.graph.parser import parse_model_file
 
-        graph = parse_model_file(path)
+        graph = parse_model_file(path, input_hw=input_hw)
         return cls.from_graph(graph, options, mesh=mesh)
 
     # -- execution ---------------------------------------------------------

@@ -123,7 +123,11 @@ def _act_attrs(layer) -> dict:
 
 
 def parse_model_dict(model: dict, bin_file: Optional[BinaryIO] = None,
-                     name: str = "model") -> Graph:
+                     name: str = "model",
+                     input_hw: Optional[tuple] = None) -> Graph:
+    """`input_hw` overrides the artifact's frame geometry — CNN weights are
+    size-agnostic, and the reference runs the same artifact at whatever
+    frame size the processor feeds it (inferenceProcessor resize path)."""
     g = Graph(name)
     g.meta["inputRange"] = model.get("inputRange")
     count = int(model["numLayers"]["count"])
@@ -150,8 +154,8 @@ def parse_model_dict(model: dict, bin_file: Optional[BinaryIO] = None,
 
         if ltype == "InputLayer":
             attrs = {
-                "height": int(layer["Input Height"]),
-                "width": int(layer["Input Width"]),
+                "height": int(input_hw[0]) if input_hw else int(layer["Input Height"]),
+                "width": int(input_hw[1]) if input_hw else int(layer["Input Width"]),
                 "channels": out_planes or 1,
                 "index": int(layer.get("inputIndex", 0)),
             }
@@ -313,10 +317,11 @@ def parse_model_dict(model: dict, bin_file: Optional[BinaryIO] = None,
     return g
 
 
-def parse_model_file(path) -> Graph:
+def parse_model_file(path, input_hw: Optional[tuple] = None) -> Graph:
     """Load monolithic JSON or a decoupled `*_layers.json` (+ sibling
     `*_weights.bin`, following the reference's naming convention,
-    modelparser.cpp:238-253)."""
+    modelparser.cpp:238-253). `input_hw` optionally re-targets the frame
+    geometry (see parse_model_dict)."""
     path = os.fspath(path)
     with open(path) as f:
         model = json.load(f)
@@ -328,7 +333,7 @@ def parse_model_file(path) -> Graph:
         bin_file = open(bin_path, "rb")
     try:
         name = os.path.splitext(os.path.basename(path))[0]
-        return parse_model_dict(model, bin_file, name=name)
+        return parse_model_dict(model, bin_file, name=name, input_hw=input_hw)
     finally:
         if bin_file:
             bin_file.close()

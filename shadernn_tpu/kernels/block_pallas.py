@@ -49,6 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from shadernn_tpu.kernels.conv_pallas import _mxu_precision
 from shadernn_tpu.ops.common import apply_activation
 
 
@@ -133,6 +134,7 @@ def _invres_kernel(
             x,
             w1_ref[...].astype(compute_dtype),
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype),
         )
         e = e * s1_ref[...] + o1_ref[...]
         e = apply_activation(e, spec.act_expand, spec.alpha)
@@ -179,6 +181,7 @@ def _invres_kernel(
         d,
         w2_ref[...].astype(compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=_mxu_precision(compute_dtype),
     )
     y = y * s2_ref[...] + o2_ref[...]
     if spec.residual:

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from shadernn_tpu.kernels.conv_pallas import (
-    MB, MH, ML, HaloedValue, _c_tile, _round_up,
+    MB, MH, ML, HaloedValue, _c_tile, _mxu_precision, _round_up,
 )
 from shadernn_tpu.ops.common import apply_activation
 
@@ -203,6 +203,7 @@ def _chain_kernel(
                 patch_ref[:kdim, :],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mxu_precision(compute_dtype),
             )  # (r*O_pad, Wp)
             y = acc * scale + offset
             y = apply_activation(y, spec.activation, spec.alpha)
@@ -419,7 +420,9 @@ def build_chain(
 
     weights, scales, offsets, specs = [], [], [], []
     c = in_channels
-    ct = 16  # bf16 sublane tile; f32 chains use 8 but bf16 dominates
+    # Sublane tile must match the activation layout to_haloed() produces
+    # (8 for f32, 16 for bf16) or the input DMA shapes mismatch.
+    ct = _c_tile(jnp.dtype(act_dtype))
     for idx, node in enumerate(nodes):
         k = int(node.attr("kernel_size"))
         pt, pb, pl_, pr = padding_offsets(node.attr("padding", "same"), k)
@@ -468,7 +471,7 @@ def build_chain(
         return None
     bytes_needed = 0
     for l in range(len(specs) - 1):
-        bytes_needed += rows[l + 1] * specs[l].o_pad * 2
+        bytes_needed += rows[l + 1] * specs[l].o_pad * jnp.dtype(act_dtype).itemsize
     if bytes_needed * 1300 > 60 * 1024 * 1024:  # x wp lanes (~1.2k) budget
         return None
     # Pick the per-dot row batch r and lay out the block weight matrix

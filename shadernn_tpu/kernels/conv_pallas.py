@@ -44,6 +44,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _mxu_precision(compute_dtype):
+    """f32 paths need 3-pass MXU passes (bf16x3) for fp32-grade results —
+    the default single pass truncates operands to bf16 (~1e-3 error).
+    bf16/int8 paths keep the fast default."""
+    return jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+
+
 def _conv_kernel(
     x_hbm,  # (N, Hp_in, C, Wp_in) in ANY/HBM
     w_ref,  # (K, O) VMEM — K = k*k*C in (dx, dy, c) order
@@ -127,6 +134,7 @@ def _conv_kernel(
             patch_ref[...],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(patch_ref.dtype),
         )  # (O, w_out)
         y = acc * scale + offset
         y = apply_activation(y, activation, alpha)
@@ -336,6 +344,7 @@ def _haloed_kernel(
             wmat, patch_ref[...],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(patch_ref.dtype),
         )  # (r*O, Wp)
         jo = i * th + j0 + rid
         row_mask = ((jo >= MH) & (jo < MH + h_out)).astype(jnp.float32)

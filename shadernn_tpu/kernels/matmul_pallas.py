@@ -20,6 +20,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from shadernn_tpu.kernels.conv_pallas import _mxu_precision
+
 from shadernn_tpu.ops.common import apply_activation
 
 
@@ -42,6 +44,7 @@ def _matmul_kernel(x_ref, w_ref, scale_ref, offset_ref, out_ref, acc_ref, *,
         x_ref[...], wt,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_mxu_precision(x_ref.dtype),
     )
 
     @pl.when(ki == n_k_tiles - 1)

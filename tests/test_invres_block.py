@@ -182,3 +182,27 @@ def test_mobilenetv2_plans_small_spatial_blocks():
         assert "block4_expand" in plan and "block16_expand" in plan
     finally:
         os.environ.pop("SNN_AUTO_PALLAS_ANYWHERE", None)
+
+
+def test_chain_c_pad_follows_activation_dtype():
+    """Regression: build_chain hardcoded the bf16 sublane tile (16), so f32
+    chains DMA'd (rows, 8, W) HBM slices into (rows, 16, W) scratch —
+    a Mosaic verification error on real TPU (aidenoise fp32)."""
+    import jax.numpy as jnp
+
+    from shadernn_tpu.graph.builder import GraphBuilder
+    from shadernn_tpu.kernels.chain_pallas import build_chain
+    from shadernn_tpu.kernels.conv_pallas import _c_tile
+
+    b = GraphBuilder("chain", seed=0)
+    x = b.input(32, 32, 4, name="in")
+    x = b.conv2d(x, 16, 3, name="c0", activation="relu")
+    b.conv2d(x, 16, 3, name="c1", activation="relu")
+    g = b.build()
+    g.infer_shapes(batch_size=1)
+    nodes = [g.nodes["c0"], g.nodes["c1"]]
+    for dtype in (jnp.float32, jnp.bfloat16):
+        _params, specs = build_chain(nodes, 4, dtype, allow_2d_head=False)
+        ct = _c_tile(jnp.dtype(dtype))
+        assert specs[0].c_pad % ct == 0 and specs[0].c_pad == max(ct, 4)
+        assert all(s.o_pad % ct == 0 for s in specs), (dtype, specs)
