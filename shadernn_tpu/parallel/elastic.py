@@ -1,21 +1,33 @@
-"""Elastic execution: device-failure detection and mesh rebuild.
+"""Elastic execution: device-failure detection, exclusion, and mesh rebuild.
 
 The reference has no failure story (SNN_RIP aborts, utils.h:58-61;
 single device). A multi-host TPU serving deployment needs at least:
-detect a failed step, drop to the surviving devices, recompile, resume
-(SURVEY.md §5 "detect host failure and rebuild the mesh").
+detect a failed or HUNG step, drop the failed chip, rebuild the mesh over
+the survivors, recompile, resume (SURVEY.md §5 "detect host failure and
+rebuild the mesh").
 
-`ElasticEngine` wraps engine construction: every step runs under a
-watchdog; on a device/runtime failure it rebuilds the engine on a reduced
-mesh (halving the data-parallel degree, the only axis whose loss is
-capacity rather than correctness) and replays the failed batch. Failures
-are injectable for testing (`inject_failure`).
+`ElasticEngine` wraps engine construction:
+
+- every step's device-sync runs under a **watchdog thread**
+  (`step_timeout_s`): a hung collective (the classic multi-chip failure
+  mode — one peer stops participating and everyone else blocks in the
+  all-reduce) surfaces as `StepTimeout` instead of blocking forever;
+- on a failure the suspect device is **excluded** from the rebuild mesh
+  (`mark_failed`, or auto-parsed from the exception when the runtime
+  names a device) — a genuinely dead chip is never re-included;
+- the data-parallel degree is re-planned over the surviving devices (the
+  only axis whose loss is capacity rather than correctness) and the failed
+  batch replays on the new engine.
+
+Failures are injectable for testing (`inject_failure(device=...)`).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+import re
+import threading
+from typing import Callable, Dict, Optional, Set
 
 import jax
 import numpy as np
@@ -27,8 +39,17 @@ from shadernn_tpu.utils import get_logger
 
 logger = get_logger("snn_tpu.elastic")
 
+
+class StepTimeout(RuntimeError):
+    """A step exceeded the watchdog deadline (hung collective / dead chip)."""
+
+
 # Exception types treated as device/runtime failures worth a rebuild.
-_FAILURE_TYPES = (RuntimeError, jax.errors.JaxRuntimeError, OSError)
+_FAILURE_TYPES = (RuntimeError, jax.errors.JaxRuntimeError, OSError, StepTimeout)
+
+# Runtime errors sometimes name the device ("TPU_3", "device 3", ...);
+# best-effort extraction so the right chip gets excluded.
+_DEVICE_RE = re.compile(r"(?:TPU|device)[ _:]*(\d+)", re.IGNORECASE)
 
 
 class ElasticEngine:
@@ -37,38 +58,53 @@ class ElasticEngine:
         graph_builder: Callable[[], object],
         options: EngineOptions,
         max_rebuilds: int = 3,
+        step_timeout_s: Optional[float] = 120.0,
     ):
         """graph_builder: zero-arg callable producing a fresh Graph (graphs
-        are consumed by compilation; a rebuild needs a new one)."""
+        are consumed by compilation; a rebuild needs a new one).
+        step_timeout_s: watchdog deadline per step; None disables."""
         self._builder = graph_builder
         self._options = options
         self._max_rebuilds = max_rebuilds
+        self.step_timeout_s = step_timeout_s
         self.rebuilds = 0
         self.failures = 0
-        self._fail_next = 0  # test hook
+        self.excluded_ids: Set[int] = set()
+        self._fail_next = 0  # test hooks
+        self._fail_device: Optional[int] = None
         self._build()
 
-    def _build(self) -> None:
-        sharding = self._options.sharding
-        mesh = make_mesh(sharding) if sharding.is_sharded else None
-        self.engine = Engine.from_graph(self._builder(), self._options, mesh=mesh)
-        logger.info(
-            "elastic engine built: %d-way data parallel, batch %d",
-            sharding.data, self._options.batch_size,
-        )
+    # -- mesh / rebuild ------------------------------------------------------
+    def healthy_devices(self):
+        return [d for d in jax.devices() if d.id not in self.excluded_ids]
 
-    def inject_failure(self, count: int = 1) -> None:
-        """Make the next `count` steps raise (tests the recovery path)."""
-        self._fail_next += count
+    def mark_failed(self, device_id: int) -> None:
+        """Exclude a device from every future mesh (external failure
+        detectors — hardware health monitors — call this directly)."""
+        self.excluded_ids.add(device_id)
+        logger.warning("device %d marked failed; %d healthy remain",
+                       device_id, len(self.healthy_devices()))
 
-    def _shrink(self) -> bool:
-        """Halve the data-parallel degree (and per-step batch). Returns
+    def _plan_shrink(self) -> bool:
+        """Re-plan the data degree over the surviving devices. Returns
         False when no further shrink is possible."""
         sh = self._options.sharding
-        if sh.data <= 1:
+        fixed = sh.model * sh.spatial
+        avail = len(self.healthy_devices()) // max(fixed, 1)
+        if avail < 1:
+            return False
+        target = min(sh.data, avail)
+        if target == sh.data and sh.data > 1:
+            # unattributed failure (no device excluded): back off capacity
+            target = sh.data // 2
+        # largest power-of-two data degree <= target
+        new_data = 1
+        while new_data * 2 <= target:
+            new_data *= 2
+        if sh.data <= 1 and new_data <= 1:
             # single device left: rebuild in place (process-level retry)
             return self.rebuilds < self._max_rebuilds
-        new_sh = dataclasses.replace(sh, data=max(sh.data // 2, 1))
+        new_sh = dataclasses.replace(sh, data=max(new_data, 1))
         new_batch = max(
             self._options.batch_size * new_sh.data // max(sh.data, 1), 1
         )
@@ -77,6 +113,67 @@ class ElasticEngine:
         )
         return True
 
+    def _build(self) -> None:
+        sharding = self._options.sharding
+        mesh = (
+            make_mesh(sharding, devices=self.healthy_devices())
+            if sharding.is_sharded
+            else None
+        )
+        self.engine = Engine.from_graph(self._builder(), self._options, mesh=mesh)
+        logger.info(
+            "elastic engine built: %d-way data parallel, batch %d, "
+            "%d device(s) excluded",
+            sharding.data, self._options.batch_size, len(self.excluded_ids),
+        )
+
+    # -- failure classification ----------------------------------------------
+    def inject_failure(self, count: int = 1, device: Optional[int] = None) -> None:
+        """Make the next `count` steps raise (tests the recovery path);
+        `device` simulates the runtime blaming a specific chip."""
+        self._fail_next += count
+        self._fail_device = device
+
+    def _on_failure(self, e: BaseException) -> None:
+        self.failures += 1
+        m = _DEVICE_RE.search(str(e))
+        if m:
+            did = int(m.group(1))
+            if any(d.id == did for d in self.healthy_devices()):
+                self.mark_failed(did)
+        logger.warning("step failed (%s: %s); rebuilding engine",
+                       type(e).__name__, e)
+
+    # -- execution -----------------------------------------------------------
+    def _sync(self, out) -> None:
+        """Block until device completion, under the watchdog deadline."""
+        leaves = [v for v in jax.tree.leaves(out) if hasattr(v, "block_until_ready")]
+        if self.step_timeout_s is None:
+            for v in leaves:
+                v.block_until_ready()
+            return
+        done = threading.Event()
+        err: list = []
+
+        def waiter():
+            try:
+                for v in leaves:
+                    v.block_until_ready()
+            except BaseException as we:  # surfaces via the main thread
+                err.append(we)
+            finally:
+                done.set()
+
+        t = threading.Thread(target=waiter, daemon=True)
+        t.start()
+        if not done.wait(self.step_timeout_s):
+            raise StepTimeout(
+                f"step exceeded {self.step_timeout_s}s watchdog deadline "
+                "(hung collective or dead device)"
+            )
+        if err:
+            raise err[0]
+
     def run(self, inputs: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         """One step with failure recovery. The batch is re-bucketed to the
         current (possibly shrunk) batch size."""
@@ -84,12 +181,12 @@ class ElasticEngine:
             try:
                 if self._fail_next > 0:
                     self._fail_next -= 1
-                    raise RuntimeError("injected device failure")
+                    dev = f" on device {self._fail_device}" if self._fail_device is not None else ""
+                    raise RuntimeError(f"injected device failure{dev}")
                 return self._run_bucketed(inputs)
             except _FAILURE_TYPES as e:
-                self.failures += 1
-                logger.warning("step failed (%s); rebuilding engine", e)
-                if self.rebuilds >= self._max_rebuilds or not self._shrink():
+                self._on_failure(e)
+                if self.rebuilds >= self._max_rebuilds or not self._plan_shrink():
                     raise
                 self.rebuilds += 1
                 self._build()
@@ -98,7 +195,9 @@ class ElasticEngine:
         batch = next(iter(inputs.values())).shape[0]
         step = self._options.batch_size
         if batch == step:
-            return self.engine.run(inputs)
+            out = self.engine.run(inputs)
+            self._sync(out)
+            return out
         # split/pad into fixed-size buckets and reassemble
         outs_parts = []
         for start in range(0, batch, step):
@@ -112,6 +211,7 @@ class ElasticEngine:
                     for k, v in chunk.items()
                 }
             out = self.engine.run(chunk)
+            self._sync(out)
             outs_parts.append({k: np.asarray(v)[:fill] for k, v in out.items()
                                if k != "__dumps__"})
         return {
