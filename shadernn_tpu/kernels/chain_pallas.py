@@ -254,7 +254,7 @@ def fused_conv_chain(
     layer_params: List[dict],  # per layer: wmat (K,O_pad), scale, offset (O_pad,)
     specs: List[ChainLayerSpec],
     *,
-    block_rows: int = 8,
+    block_rows: int = MH,
     interpret: bool = False,
     tail: str = "none",
 ):

@@ -252,7 +252,7 @@ def fused_conv2d_nhcw(
 # own margins back to zero, so consecutive convs do no pad/slice/transpose
 # work at all.
 
-MH = 8  # row margin (covers same-padding up to k=17)
+MH = 32  # row margin == chain tile height (see chain_pallas)
 ML = 8  # lane margin
 
 
@@ -355,7 +355,7 @@ def _haloed_kernel(
             out_ref[0, j0 + rr] = y[rr * o_pad : (rr + 1) * o_pad]
 
 
-MB = 16  # bottom row margin (covers DMA window overhang: pb + Th - 1)
+MB = 40  # bottom row margin (covers DMA window overhang: pb + Th - 1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -410,7 +410,7 @@ def fused_conv2d_haloed(
     pads: Tuple[int, int, int, int] = (0, 0, 0, 0),
     activation: str = "linear",
     alpha: float = 0.3,
-    block_rows: int = 8,
+    block_rows: int = MH,
     interpret: bool = False,
 ) -> HaloedValue:
     """Chain conv: haloed in, haloed out, zero glue copies. Stride 1 only;
