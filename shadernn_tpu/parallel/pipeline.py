@@ -180,8 +180,12 @@ class PipelinedEngine:
             for stage in self.stages:
                 missing = [k for k in stage.consumes if k not in env]
                 assert not missing, f"stage {stage.index} missing {missing}"
+                # Only cross-stage tensors transfer (direct D2D, async);
+                # same-device tensors pass through untouched.
                 staged = {
-                    k: jax.device_put(env[k], stage.device)
+                    k: env[k]
+                    if getattr(env[k], "devices", lambda: None)() == {stage.device}
+                    else jax.device_put(env[k], stage.device)
                     for k in stage.consumes
                 }
                 outs = stage.fn(stage.params, staged)
@@ -196,3 +200,59 @@ class PipelinedEngine:
 
     def stage_devices(self) -> List[str]:
         return [str(s.device) for s in self.stages]
+
+    def throughput_stats(self, inputs: Dict[str, np.ndarray], iters: int = 3) -> dict:
+        """Measure pipeline overlap: per-stage serial time vs pipelined
+        wall time, plus the GPipe bubble model.
+
+        With S stages and M micro-batches the ideal pipelined time is
+        (S + M - 1) * t_stage (t_stage = slowest stage), i.e. a bubble
+        fraction of (S-1)/(S+M-1). `overlap_efficiency` compares the
+        measured wall time against the NO-overlap serial schedule
+        (sum of all stage times x M): > 1/S means stages genuinely ran
+        concurrently; ~1.0 means perfect overlap of balanced stages.
+        """
+        import time
+
+        batch = next(iter(inputs.values())).shape[0]
+        m = batch // self.micro_batch
+        s = len(self.stages)
+
+        # serial: every micro-batch through every stage, blocking each step
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            mb_in = {k: v[: self.micro_batch] for k, v in inputs.items()}
+            env = {
+                k: jax.device_put(
+                    jnp.asarray(v).astype(self.options.precision.activation_dtype),
+                    self.stages[0].device,
+                )
+                for k, v in mb_in.items()
+            }
+            for stage in self.stages:
+                staged = {k: jax.device_put(env[k], stage.device)
+                          for k in stage.consumes}
+                outs = stage.fn(stage.params, staged)
+                jax.block_until_ready(outs)
+                env.update(outs)
+        serial_mb_s = (time.perf_counter() - t0) / iters
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            self.run(inputs)
+        wall_s = (time.perf_counter() - t0) / iters
+
+        serial_total_s = serial_mb_s * m
+        stats = {
+            "stages": s,
+            "micro_batches": m,
+            "serial_s": round(serial_total_s, 5),
+            "pipelined_s": round(wall_s, 5),
+            "speedup": round(serial_total_s / max(wall_s, 1e-9), 3),
+            "bubble_fraction_model": round((s - 1) / (s + m - 1), 4),
+            "overlap_efficiency": round(
+                serial_total_s / max(wall_s, 1e-9) / s, 3
+            ),
+        }
+        logger.info("pipeline throughput: %s", stats)
+        return stats

@@ -66,3 +66,20 @@ def test_pipeline_skip_connections(rng):
     )
     got = np.asarray(pipe.run({"input": x})["head"])
     oracle.compare(got, want, 1e-4, "pipeline-unet-skips")
+
+
+def test_pipeline_throughput_stats(rng):
+    """Overlap metric exists and is self-consistent (W7: overlap was never
+    measured). CPU timings are noisy, so assert structure + sanity, not
+    absolute speedups."""
+    eng = PipelinedEngine(
+        build_model("espcn", h=32, w=48), EngineOptions(), num_stages=2,
+        micro_batch=2,
+    )
+    x = rng.random((8, 32, 48, 1), dtype=np.float32)
+    stats = eng.throughput_stats({"input": x}, iters=2)
+    assert stats["stages"] == 2 and stats["micro_batches"] == 4
+    assert stats["pipelined_s"] > 0 and stats["serial_s"] > 0
+    assert 0 < stats["bubble_fraction_model"] < 1
+    # pipelined must not be slower than fully-serial by more than noise
+    assert stats["speedup"] > 0.5, stats
