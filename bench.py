@@ -111,7 +111,8 @@ def _chain_roofline(stats, log) -> dict:
         return {}
     k_us = sum(o.us for o in kernels)
     tflops = conv_flops / (k_us * 1e-6) / 1e12 if k_us else 0.0
-    frac = tflops * 1e12 / PEAK_FLOPS["bfloat16"]
+    frac = tflops * 1e12 / PEAK_FLOPS.get(report.precision,
+                                          PEAK_FLOPS["bfloat16"])
     # memory side: bytes in+out of the kernels per step
     k_bytes = sum(o.bytes_accessed for o in kernels)
     gbs = k_bytes / (k_us * 1e-6) / 1e9 if k_us else 0.0

@@ -207,22 +207,33 @@ class Engine:
         same reason, deviceTimer.h:20-51). Returns step stats plus the
         parsed per-op report under "report".
         """
+        import shutil
         import tempfile
 
         from shadernn_tpu.utils.trace_profile import parse_trace_dir
 
-        dev_inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        def fresh():
+            # donate_input engines consume their input buffers each call;
+            # rebuild them per step so the traced loop doesn't reuse a
+            # deleted array.
+            return {k: jnp.asarray(np.asarray(v)) for k, v in inputs.items()}
+
+        donating = self.options.donate_input
+        dev_inputs = fresh()
         jax.block_until_ready(self.model(dev_inputs))  # compile + warm
         trace_dir = tempfile.mkdtemp(prefix="snn_bench_trace_")
-        with jax.profiler.trace(trace_dir):
-            out = None
-            for _ in range(steps):
-                out = self.model(dev_inputs)
-            jax.block_until_ready(out)
-        prec = {"fp32": "float32", "bf16": "bfloat16", "int8": "bfloat16"}[
-            self.options.precision.value
-        ]
-        report = parse_trace_dir(trace_dir, steps, precision=prec)
+        try:
+            with jax.profiler.trace(trace_dir):
+                out = None
+                for _ in range(steps):
+                    out = self.model(fresh() if donating else dev_inputs)
+                jax.block_until_ready(out)
+            prec = {"fp32": "float32", "bf16": "bfloat16", "int8": "bfloat16"}[
+                self.options.precision.value
+            ]
+            report = parse_trace_dir(trace_dir, steps, precision=prec)
+        finally:
+            shutil.rmtree(trace_dir, ignore_errors=True)
         batch = next(iter(dev_inputs.values())).shape[0]
         ms = report.e2e_us / 1e3
         return {

@@ -414,7 +414,7 @@ def fused_conv2d_haloed(
     interpret: bool = False,
 ) -> HaloedValue:
     """Chain conv: haloed in, haloed out, zero glue copies. Stride 1 only;
-    margins bound the supported padding (pt, pl <= MH=ML=8, pb <= 9)."""
+    margins bound the supported padding (pt <= MH, pl <= ML=8, pb <= 9)."""
     assert stride == 1
     pt, pb, pl_, pr = pads
     assert pt <= MH and pl_ <= ML and pb <= 9 and pr <= 8, pads

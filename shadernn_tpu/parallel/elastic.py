@@ -85,16 +85,18 @@ class ElasticEngine:
         logger.warning("device %d marked failed; %d healthy remain",
                        device_id, len(self.healthy_devices()))
 
-    def _plan_shrink(self) -> bool:
+    def _plan_shrink(self, attributed: bool = False) -> bool:
         """Re-plan the data degree over the surviving devices. Returns
-        False when no further shrink is possible."""
+        False when no further shrink is possible. `attributed`: the failed
+        device was identified and excluded — keep all capacity the
+        survivors support; unattributed failures back off by half."""
         sh = self._options.sharding
         fixed = sh.model * sh.spatial
         avail = len(self.healthy_devices()) // max(fixed, 1)
         if avail < 1:
             return False
         target = min(sh.data, avail)
-        if target == sh.data and sh.data > 1:
+        if not attributed and target == sh.data and sh.data > 1:
             # unattributed failure (no device excluded): back off capacity
             target = sh.data // 2
         # largest power-of-two data degree <= target
@@ -134,15 +136,20 @@ class ElasticEngine:
         self._fail_next += count
         self._fail_device = device
 
-    def _on_failure(self, e: BaseException) -> None:
+    def _on_failure(self, e: BaseException) -> bool:
+        """Record the failure; returns True if a specific device was
+        identified (and newly excluded)."""
         self.failures += 1
+        attributed = False
         m = _DEVICE_RE.search(str(e))
         if m:
             did = int(m.group(1))
             if any(d.id == did for d in self.healthy_devices()):
                 self.mark_failed(did)
+                attributed = True
         logger.warning("step failed (%s: %s); rebuilding engine",
                        type(e).__name__, e)
+        return attributed
 
     # -- execution -----------------------------------------------------------
     def _sync(self, out) -> None:
@@ -185,8 +192,9 @@ class ElasticEngine:
                     raise RuntimeError(f"injected device failure{dev}")
                 return self._run_bucketed(inputs)
             except _FAILURE_TYPES as e:
-                self._on_failure(e)
-                if self.rebuilds >= self._max_rebuilds or not self._plan_shrink():
+                attributed = self._on_failure(e)
+                if (self.rebuilds >= self._max_rebuilds
+                        or not self._plan_shrink(attributed)):
                     raise
                 self.rebuilds += 1
                 self._build()

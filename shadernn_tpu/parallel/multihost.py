@@ -86,9 +86,9 @@ def make_multihost_mesh(sharding: ShardingOptions):
     """(data, model, spatial) mesh over the global device list with `data`
     process-major, so DCN only ever carries data-axis collectives.
 
-    Requires model*spatial to fit inside one process's devices (a host's
-    ICI domain) — asserts otherwise, because a model/spatial collective
-    spanning DCN would be orders of magnitude slower than ICI.
+    Requires model*spatial to evenly divide one process's device count (a
+    host's ICI domain) — raises otherwise, because a model/spatial
+    collective spanning DCN would be orders of magnitude slower than ICI.
     """
     import jax
     from jax.sharding import Mesh
@@ -97,11 +97,13 @@ def make_multihost_mesh(sharding: ShardingOptions):
         jax.devices(), key=lambda d: (d.process_index, d.id)
     )
     local = jax.local_device_count()
-    if sharding.model * sharding.spatial > local:
+    fixed = sharding.model * sharding.spatial
+    if fixed > local or local % fixed != 0:
         raise ValueError(
-            f"model*spatial = {sharding.model * sharding.spatial} exceeds the "
-            f"per-host device count {local}: those axes' collectives would "
-            "cross DCN. Put host-spanning parallelism on the data axis."
+            f"model*spatial = {fixed} must evenly divide the per-host device "
+            f"count {local}: otherwise a model/spatial group straddles a "
+            "host boundary and its collectives cross DCN. Put host-spanning "
+            "parallelism on the data axis."
         )
     n = sharding.total_devices
     if n > len(devices):

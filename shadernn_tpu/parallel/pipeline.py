@@ -218,6 +218,10 @@ class PipelinedEngine:
         m = batch // self.micro_batch
         s = len(self.stages)
 
+        # warm both paths first so lazy jit compilation (seconds) does not
+        # masquerade as serial execution time and inflate the speedup
+        self.run(inputs)
+
         # serial: every micro-batch through every stage, blocking each step
         t0 = time.perf_counter()
         for _ in range(iters):

@@ -187,7 +187,10 @@ def plan_spmd(graph: Graph, options: EngineOptions) -> SpmdPlan:
                 if geo is not None:
                     plan.mode, (plan.halo_up, plan.halo_dn) = "dw_conv", geo
                 else:
-                    plan.mode, h_sh = "gather", False
+                    # The generic gather branch runs the op with FULL-channel
+                    # input, which cannot consume O-sharded depthwise weights
+                    # (feature_group_count mismatch) — drop TP here too.
+                    plan.mode, h_sh, plan.tp = "gather", False, False
             else:
                 plan.mode = "dw_conv"
         elif op == "Conv2DTranspose":
@@ -223,7 +226,14 @@ def plan_spmd(graph: Graph, options: EngineOptions) -> SpmdPlan:
         elif op in ("InstanceNormalization",):
             if h_sh:
                 plan.mode = "instnorm"
-        elif op in ("UpSampling2D", "Subpixel"):
+        elif op == "UpSampling2D":
+            # Nearest upsampling is pure per-row expansion; BILINEAR mixes
+            # rows across shard seams (each shard's jax.image.resize would
+            # edge-clamp at its local boundary -> silently wrong seams).
+            interp = str(node.attr("interpolation", "nearest")).lower()
+            if h_sh and interp not in ("nearest", "nearest_neighbor"):
+                plan.mode, h_sh = "gather", False
+        elif op == "Subpixel":
             pass  # pure per-row expansion: shard-local under SP
         elif op == "SpaceToDepth":
             if h_sh:

@@ -145,7 +145,10 @@ def parse_trace_dir(trace_dir: str, steps: int, precision: str = "bfloat16") -> 
                 source=str(args.get("source", "")),
                 long_name=str(args.get("long_name", ""))[:200],
             )
-    div = max(n_steps_seen, 1)
+    # Fall back to the caller's step count if the jit/pjit module event is
+    # absent from this trace (event naming varies by backend/version) —
+    # otherwise totals-over-all-steps would masquerade as per-step times.
+    div = n_steps_seen if n_steps_seen else max(int(steps), 1)
     for o in agg.values():
         o.us /= div
         o.flops //= div

@@ -208,3 +208,69 @@ def test_gspmd_baseline_still_works(rng):
     )
     got = np.asarray(eng.run_single(x))
     oracle.compare(got, want, 1e-4, "gspmd-dp")
+
+
+def test_depthwise_gather_fallback_drops_tp(rng):
+    """Review finding: a SeparableConv2D forced into gather mode (H does
+    not divide sp) must drop TP too — the generic gather branch runs with
+    FULL-channel input, which cannot consume O-sharded depthwise weights
+    (feature_group_count mismatch -> trace error)."""
+    from shadernn_tpu.graph.builder import GraphBuilder
+
+    def build():
+        b = GraphBuilder("dwgather", seed=5)
+        x = b.input(32, 32, 8, name="in")
+        x = b.conv2d(x, 8, 3, name="c0", activation="relu")
+        # valid padding: H_out = 30, not divisible by spatial=4 -> the dw
+        # itself (not its producer) falls back to gather mode
+        x = b.depthwise(x, 3, padding="valid", name="dw")
+        b.conv2d(x, 8, 1, name="head")
+        return b.build()
+
+    sh = ShardingOptions(data=1, model=2, spatial=4)
+    mesh = make_mesh(sh)
+    eng = Engine.from_graph(
+        build(), EngineOptions(batch_size=2, sharding=sh), mesh=mesh
+    )
+    plan = eng.model.spmd_plan
+    assert plan.nodes["dw"].mode == "gather"
+    assert not plan.nodes["dw"].tp
+
+    x = rng.random((2, 32, 32, 8), dtype=np.float32)
+    got = np.asarray(eng.run_single(x))
+    g2 = build()
+    ref = Engine.from_graph(g2, EngineOptions(batch_size=2))
+    want = np.asarray(ref.run_single(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_upsample_gathers_under_sp(rng):
+    """Review finding: bilinear UpSampling2D mixes rows across shard seams;
+    running it shard-local silently corrupts seam rows. The planner must
+    gather (nearest stays shard-local)."""
+    from shadernn_tpu.graph.builder import GraphBuilder
+
+    def build(interp):
+        b = GraphBuilder(f"ups_{interp}", seed=6)
+        x = b.input(32, 32, 4, name="in")
+        x = b.conv2d(x, 4, 3, name="c0", activation="relu")
+        b.upsample(x, 2, interpolation=interp, name="up")
+        return b.build()
+
+    sh = ShardingOptions(data=1, model=1, spatial=4)
+    mesh = make_mesh(sh)
+    for interp in ("bilinear", "nearest"):
+        eng = Engine.from_graph(
+            build(interp), EngineOptions(batch_size=2, sharding=sh), mesh=mesh
+        )
+        plan = eng.model.spmd_plan
+        if interp == "bilinear":
+            assert plan.nodes["up"].mode == "gather", plan.nodes["up"]
+        else:
+            assert plan.nodes["up"].mode == "local"
+        x = rng.random((2, 32, 32, 4), dtype=np.float32)
+        got = np.asarray(eng.run_single(x))
+        ref = Engine.from_graph(build(interp), EngineOptions(batch_size=2))
+        want = np.asarray(ref.run_single(x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=interp)
