@@ -109,6 +109,11 @@ class EngineOptions:
     # --dump_outputs, openGLRenderpass.cpp:764-899).
     dump_outputs: bool = False
     dump_dir: str = "layer_dumps"
+    # Output dtype: "float32" (default — reference-parity convenience) or
+    # "activation" to return outputs in the compute dtype, skipping the
+    # f32 upcast + layout copy of the largest tensor (the reference hands
+    # consumers fp16 textures; serving pipelines should do the same).
+    output_dtype: Optional[str] = "float32"
     # Donate input frame buffers to the compiled step (the analog of the
     # reference's zero-copy texture attach, imageTexture.h:31). Off by
     # default because donated buffers cannot be re-submitted (benchmarks

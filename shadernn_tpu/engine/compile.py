@@ -125,6 +125,16 @@ def build_forward(
     """
     order = graph.toposort()
     act_dtype = options.precision.activation_dtype
+    # Output dtype: f32 by default (reference-parity convenience); frame
+    # pipelines set output_dtype="activation" to skip the f32 upcast +
+    # layout copy of the LARGEST tensor (e.g. ESPCN 1080p output: ~500us
+    # of convert/copy on a 2.0ms model — the reference likewise hands the
+    # consumer fp16 textures, not fp32).
+    out_dtype = (
+        act_dtype
+        if options.output_dtype in ("activation", None)
+        else jnp.dtype(options.output_dtype)
+    )
 
     # --- pallas chain planning (static) -----------------------------------
     # A chain is a maximal run of stride-1 pallas Conv2D nodes linked
@@ -322,7 +332,7 @@ def build_forward(
                 continue
             xs = [nhwc(v) for v in xs]
             env[node.name] = get_op(node.op).run(view, xs, ctx)
-        outs = {o: nhwc(env[o]).astype(jnp.float32) for o in graph.output_names}
+        outs = {o: nhwc(env[o]).astype(out_dtype) for o in graph.output_names}
         if options.dump_outputs:
             outs["__dumps__"] = {
                 n.name: nhwc(env[n.name]).astype(jnp.float32)
