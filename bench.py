@@ -42,7 +42,7 @@ REFERENCE_ESPCN_MS = 775.194  # docs/Developer-Guide/Benchmarking.md:25
 
 def bench_model(name: str, precision: str, batch: int, loops: int, log,
                 backend_name: str = "auto", protocol: str = "trace",
-                **build_kwargs):
+                output_dtype: str = "float32", **build_kwargs):
     import shadernn_tpu as snn
     from shadernn_tpu.models import build_model
 
@@ -53,7 +53,8 @@ def bench_model(name: str, precision: str, batch: int, loops: int, log,
     graph = build_model(name, **build_kwargs)
     t0 = time.time()
     eng = snn.Engine.from_graph(
-        graph, snn.EngineOptions(precision=prec, batch_size=batch, backend=backend)
+        graph, snn.EngineOptions(precision=prec, batch_size=batch,
+                                 backend=backend, output_dtype=output_dtype)
     )
     in_spec = graph.nodes[graph.input_names[0]].out_spec.shape
     x = np.random.default_rng(0).random((batch, *in_spec[1:]), dtype=np.float32)
@@ -133,6 +134,12 @@ def main():
     ap.add_argument("--inner_loops", type=int, default=30)
     ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--protocol", default="trace", choices=["trace", "loop"])
+    ap.add_argument("--output_dtype", default="activation",
+                    choices=["activation", "float32"],
+                    help="headline output dtype; 'activation' hands back the "
+                    "compute dtype like the reference hands fp16 textures "
+                    "(imageTexture.h:31), skipping the f32 upcast+copy of "
+                    "the full-size output")
     ap.add_argument("--skip_secondary", action="store_true",
                     help="headline model only (skip mobilenetv2-int8)")
     ap.add_argument("--all", action="store_true", help="bench every zoo model (extra lines to stderr)")
@@ -177,9 +184,10 @@ def main():
     # Headline: ESPCN 540p, per-chip frames/s.
     stats = bench_model(
         args.model, args.precision, args.batch, args.inner_loops, log,
-        args.backend, args.protocol,
+        args.backend, args.protocol, output_dtype=args.output_dtype,
     )
     fps = stats["frames_per_sec"]
+    extra["output_dtype"] = args.output_dtype
     extra.update(_chain_roofline(stats, log))
     extra["p50_ms_per_frame"] = round(
         stats.get("p50_ms_per_frame", stats["mean_ms"] / args.batch), 4)

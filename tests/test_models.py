@@ -98,3 +98,31 @@ def test_engine_rejects_wrong_input_shape():
     # different batch size is allowed (recompile, warned once)
     y = eng.run({"input": np.zeros((2, 32, 48, 1), np.float32)})
     assert np.asarray(y[g.output_names[0]]).shape == (2, 64, 96, 1)
+
+
+def test_output_dtype_activation():
+    """output_dtype="activation" hands back the compute dtype (the analog
+    of the reference handing consumers fp16 textures instead of upcasting,
+    imageTexture.h:31); values match the default f32 path exactly after
+    casting. Skipping the upcast removes a full-size layout copy of the
+    LARGEST tensor from the step (~500us on ESPCN 1080p)."""
+    import jax.numpy as jnp
+
+    from shadernn_tpu.engine.engine import Engine
+
+    g = build_model("espcn", h=32, w=48)
+    x = np.random.default_rng(0).random((1, 32, 48, 1), dtype=np.float32)
+    y32 = np.asarray(
+        Engine.from_graph(
+            g, EngineOptions(precision=Precision.BF16)
+        ).run_single(x)
+    )
+    eng = Engine.from_graph(
+        g,
+        EngineOptions(precision=Precision.BF16, output_dtype="activation"),
+    )
+    yact = eng.run_single(x)
+    assert yact.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(yact).astype(np.float32), y32.astype(np.float32)
+    )
