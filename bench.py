@@ -54,7 +54,9 @@ def bench_model(name: str, precision: str, batch: int, loops: int, log,
     t0 = time.time()
     eng = snn.Engine.from_graph(
         graph, snn.EngineOptions(precision=prec, batch_size=batch,
-                                 backend=backend, output_dtype=output_dtype)
+                                 backend=backend, output_dtype=output_dtype,
+                                 auto_output_layout=(
+                                     output_dtype == "activation"))
     )
     in_spec = graph.nodes[graph.input_names[0]].out_spec.shape
     x = np.random.default_rng(0).random((batch, *in_spec[1:]), dtype=np.float32)

@@ -114,6 +114,12 @@ class EngineOptions:
     # f32 upcast + layout copy of the largest tensor (the reference hands
     # consumers fp16 textures; serving pipelines should do the same).
     output_dtype: Optional[str] = "float32"
+    # Let XLA choose the output buffer layouts (jax Layout.AUTO) instead of
+    # forcing row-major defaults: removes the final layout copy of the
+    # full-size output (~107us/step on ESPCN 1080p b8). On-device consumers
+    # (streaming/pipeline stages) are layout-agnostic; host fetches relayout
+    # during the transfer anyway.
+    auto_output_layout: bool = False
     # Donate input frame buffers to the compiled step (the analog of the
     # reference's zero-copy texture attach, imageTexture.h:31). Off by
     # default because donated buffers cannot be re-submitted (benchmarks

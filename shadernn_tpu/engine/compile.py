@@ -190,10 +190,37 @@ def build_forward(
                         and int(consumers[0].attr("scale", 2)) == 2
                     ):
                         tail, tail_node = "d2s2", consumers[0]
-                chains[node.name] = (run, tail, tail_node)
+                # Elementwise-activation folding: a sole-consumer Activation
+                # node after the tail (e.g. ESPCN's post-subpixel tanh_out)
+                # runs in the kernel's f32 epilogue instead of as a separate
+                # full-resolution XLA pass over the LARGEST tensor (measured:
+                # ~240us of the 410us non-kernel time at 1080p b8).
+                # Elementwise acts commute with depth_to_space.
+                act_node = None
+                end = tail_node if tail_node is not None else last
+                if tail != "none" and end.name not in graph.output_names:
+                    cons = graph.consumers(end.name)
+                    foldable = (
+                        "relu", "relu6", "leakyrelu", "leaky_relu",
+                        "leaky relu", "tanh", "sigmoid", "silu", "swish",
+                        "gelu",
+                    )
+                    if (
+                        len(cons) == 1
+                        and cons[0].op == "Activation"
+                        and len(cons[0].inputs) == 1
+                        and str(last.attr("activation", "linear")).lower()
+                        in ("linear", "", "none", "identity")
+                        and str(cons[0].attr("activation", "linear")).lower()
+                        in foldable
+                    ):
+                        act_node = cons[0]
+                chains[node.name] = (run, tail, tail_node, act_node)
                 skip_names.update(n.name for n in run[1:])
                 if tail_node is not None:
                     skip_names.add(tail_node.name)
+                if act_node is not None:
+                    skip_names.add(act_node.name)
 
     # --- fused inverted-residual block planning (static) -------------------
     # [expand 1x1] -> depthwise 3x3 s1 -> project 1x1 [-> residual Add] runs
@@ -288,16 +315,23 @@ def build_forward(
                 env[out_node.name] = v
                 continue
             if node.name in chains:
-                run, tail, tail_node = chains[node.name]
+                run, tail, tail_node, act_node = chains[node.name]
                 v = xs[0]
                 views = [
                     _NodeView(n, params.get(n.name, {})) for n in run
                 ]
+                act_override = None
+                if act_node is not None:
+                    act_override = (
+                        str(act_node.attr("activation", "linear")),
+                        float(act_node.attr("leaky_alpha", 0.3)),
+                    )
                 built = build_chain(
                     views,
                     graph.nodes[node.inputs[0]].out_spec.c,
                     act_dtype,
                     allow_2d_head=not isinstance(v, HaloedValue),
+                    act_override=act_override,
                 )
                 if built is not None:
                     layer_params, specs = built
@@ -310,6 +344,8 @@ def build_forward(
                     env[run[-1].name] = res
                     if tail_node is not None:  # d2s2 absorbed the Subpixel
                         env[tail_node.name] = res
+                    if act_node is not None:  # folded into the epilogue
+                        env[act_node.name] = res
                 else:  # VMEM/geometry gate: fall back to per-conv kernels
                     for nview in views:
                         v = conv_run_pallas_chain(nview, v, ctx)
@@ -318,6 +354,12 @@ def build_forward(
                         sview = _NodeView(tail_node, params.get(tail_node.name, {}))
                         env[tail_node.name] = get_op("Subpixel").run(
                             sview, [nhwc(v)], ctx
+                        )
+                    if act_node is not None:  # run the Activation normally
+                        aview = _NodeView(act_node, params.get(act_node.name, {}))
+                        src = act_node.inputs[0]
+                        env[act_node.name] = get_op("Activation").run(
+                            aview, [nhwc(env[src])], ctx
                         )
                 continue
             # Single haloed conv (chain of one)
@@ -355,8 +397,10 @@ def build_forward(
     # in-situ trace profiler can attribute Pallas custom-call events to
     # layer chains (utils/trace_profile.py).
     forward.chain_plan = {
-        head: [n.name for n in run] + ([tail_node.name] if tail_node else [])
-        for head, (run, _tail, tail_node) in chains.items()
+        head: [n.name for n in run]
+        + ([tail_node.name] if tail_node else [])
+        + ([act_node.name] if act_node else [])
+        for head, (run, _tail, tail_node, act_node) in chains.items()
     }
     forward.block_plan = {
         head: [n.name for n in members if n is not None]
@@ -416,7 +460,12 @@ def compile_graph(
 
     params = jax.device_put(jax.tree.map(jnp.asarray, params))
     donate = (1,) if options.donate_input else ()
-    step = jax.jit(forward, donate_argnums=donate)
+    jit_kwargs = {}
+    if options.auto_output_layout:
+        from jax.experimental.layout import Format, Layout
+
+        jit_kwargs["out_shardings"] = Format(Layout.AUTO)
+    step = jax.jit(forward, donate_argnums=donate, **jit_kwargs)
     input_specs = {
         n: graph.nodes[n].out_spec.shape for n in graph.input_names
     }

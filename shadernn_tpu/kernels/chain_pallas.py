@@ -411,10 +411,16 @@ def fused_conv_chain(
 
 
 def build_chain(
-    nodes, in_channels: int, act_dtype, allow_2d_head: bool = True
+    nodes, in_channels: int, act_dtype, allow_2d_head: bool = True,
+    act_override: Optional[Tuple[str, float]] = None,
 ) -> Optional[Tuple[list, list]]:
     """Build (layer_params, specs) for a run of Conv2D nodes, or None if
-    unsupported. First layer may be the C=1 2D form."""
+    unsupported. First layer may be the C=1 2D form.
+
+    act_override = (name, alpha): replace the LAST layer's (linear)
+    activation with a folded elementwise Activation-node epilogue — e.g.
+    ESPCN's post-subpixel tanh runs inside the kernel at f32 instead of
+    as a separate full-resolution XLA pass (engine/compile.py plans it)."""
     from shadernn_tpu.ops.common import padding_offsets
     from shadernn_tpu.ops.conv import epilogue_scale_offset
 
@@ -451,12 +457,15 @@ def build_chain(
         weights.append(w)
         scales.append(scale)
         offsets.append(offset)
+        act = node.attr("activation", "linear")
+        alpha = float(node.attr("leaky_alpha", 0.3))
+        if act_override is not None and idx == len(nodes) - 1:
+            act, alpha = act_override
         specs.append(
             ChainLayerSpec(
                 kh=k, kw=k, c=c, c_pad=c_pad, o=o, o_pad=o_pad,
                 pt=pt, pb=pb, pl=pl_, pr=pr,
-                activation=node.attr("activation", "linear"),
-                alpha=float(node.attr("leaky_alpha", 0.3)),
+                activation=act, alpha=alpha,
             )
         )
         c = o

@@ -183,3 +183,21 @@ def test_chain_tail_d2s2(rng, fp16_threshold):
     ).run_single(x))
     assert got.shape == want.shape == (2, 48, 64, 1)
     oracle.compare(got, want, fp16_threshold, "chain-tail-d2s2")
+
+
+def test_chain_folds_trailing_activation():
+    """A sole-consumer Activation after the chain tail (ESPCN's
+    post-subpixel tanh_out) is folded into the kernel's f32 epilogue:
+    the chain plan claims the node and the output still matches XLA
+    (covered numerically by test_chain_tail_d2s2)."""
+    from shadernn_tpu.config import BackendKind, EngineOptions, Precision
+    from shadernn_tpu.engine.compile import compile_graph
+    from shadernn_tpu.models import build_model
+
+    m = compile_graph(
+        build_model("espcn", h=24, w=32),
+        EngineOptions(precision=Precision.BF16, backend=BackendKind.PALLAS,
+                      batch_size=2),
+    )
+    plan = m.forward.chain_plan
+    assert any("tanh_out" in members for members in plan.values()), plan

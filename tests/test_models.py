@@ -126,3 +126,23 @@ def test_output_dtype_activation():
     np.testing.assert_array_equal(
         np.asarray(yact).astype(np.float32), y32.astype(np.float32)
     )
+
+
+def test_auto_output_layout_matches_default():
+    """auto_output_layout lets XLA pick output buffer layouts (drops the
+    final full-size layout copy, ~107us/step on ESPCN 1080p b8); values
+    are identical to the default-layout engine."""
+    from shadernn_tpu.engine.engine import Engine
+
+    g1 = build_model("espcn", h=32, w=48)
+    g2 = build_model("espcn", h=32, w=48)
+    x = np.random.default_rng(1).random((2, 32, 48, 1), dtype=np.float32)
+    base = np.asarray(
+        Engine.from_graph(g1, EngineOptions(batch_size=2)).run_single(x)
+    )
+    auto = np.asarray(
+        Engine.from_graph(
+            g2, EngineOptions(batch_size=2, auto_output_layout=True)
+        ).run_single(x)
+    )
+    np.testing.assert_array_equal(base, auto)
