@@ -32,10 +32,15 @@ import numpy as np
 
 # Persistent XLA compilation cache: kernel-heavy models recompile in
 # seconds instead of minutes on repeat runs. Repo-local so driver runs
-# on the same checkout start warm.
+# on the same checkout start warm. NOTE: must go through jax.config, not
+# env vars — the container's sitecustomize imports jax before this module
+# runs, so JAX_COMPILATION_CACHE_DIR would be read too late and silently
+# ignored (observed: no .jax_cache dir after repeated 120-180s compiles).
 _REPO = os.path.dirname(os.path.abspath(__file__))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import jax  # noqa: E402  (already imported by sitecustomize anyway)
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_ESPCN_MS = 775.194  # docs/Developer-Guide/Benchmarking.md:25
 
