@@ -37,10 +37,11 @@ import numpy as np
 # runs, so JAX_COMPILATION_CACHE_DIR would be read too late and silently
 # ignored (observed: no .jax_cache dir after repeated 120-180s compiles).
 _REPO = os.path.dirname(os.path.abspath(__file__))
-import jax  # noqa: E402  (already imported by sitecustomize anyway)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+from shadernn_tpu.utils import enable_compile_cache  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_compile_cache(os.path.join(_REPO, ".jax_cache"))
 
 REFERENCE_ESPCN_MS = 775.194  # docs/Developer-Guide/Benchmarking.md:25
 

