@@ -44,6 +44,10 @@ from shadernn_tpu.utils import enable_compile_cache  # noqa: E402
 enable_compile_cache(os.path.join(_REPO, ".jax_cache"))
 
 REFERENCE_ESPCN_MS = 775.194  # docs/Developer-Guide/Benchmarking.md:25
+# NOTE: since round 2 the headline default is --output_dtype=activation
+# (bf16 outputs, like the reference's fp16 textures). Rounds 0-1 measured
+# f32 outputs; see docs/Benchmarking.md "Baseline-comparison note" before
+# comparing frames/s across rounds. extra.output_dtype records the contract.
 
 
 def bench_model(name: str, precision: str, batch: int, loops: int, log,

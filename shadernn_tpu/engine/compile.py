@@ -22,7 +22,11 @@ import numpy as np
 
 from shadernn_tpu.config import BackendKind, EngineOptions, Precision
 from shadernn_tpu.graph.ir import Graph, Node
+from shadernn_tpu.ops.common import ACTIVATIONS
 from shadernn_tpu.ops.registry import RunCtx, get_op
+from shadernn_tpu.utils import get_logger
+
+log = get_logger("snn_tpu.compile")
 
 Params = Dict[str, Dict[str, jax.Array]]
 
@@ -200,18 +204,29 @@ def build_forward(
                 end = tail_node if tail_node is not None else last
                 if tail != "none" and end.name not in graph.output_names:
                     cons = graph.consumers(end.name)
-                    foldable = (
-                        "relu", "relu6", "leakyrelu", "leaky_relu",
-                        "leaky relu", "tanh", "sigmoid", "silu", "swish",
-                        "gelu",
-                    )
+                    # Foldable = every elementwise activation the op layer
+                    # knows (ops/common.py ACTIVATIONS) minus the two that
+                    # aren't a per-element epilogue (softmax reduces over
+                    # channels; linear is a no-op), plus the spelling
+                    # variants apply_activation accepts. Derived, not
+                    # restated, so a new activation in ACTIVATIONS folds
+                    # automatically.
+                    foldable = tuple(
+                        a for a in ACTIVATIONS if a not in ("softmax", "linear")
+                    ) + ("leakyrelu", "leaky relu")
                     if (
                         len(cons) == 1
                         and cons[0].op == "Activation"
                         and len(cons[0].inputs) == 1
                         and str(last.attr("activation", "linear")).lower()
                         in ("linear", "", "none", "identity")
-                        and str(cons[0].attr("activation", "linear")).lower()
+                        # Mirror the Activation op's own attribute lookup
+                        # (ops/elementwise.py:70): 'activation' first, then
+                        # 'kind', defaulting to relu — a node specified via
+                        # kind= folds identically to how it would run.
+                        and str(
+                            cons[0].attr("activation", cons[0].attr("kind", "relu"))
+                        ).lower()
                         in foldable
                     ):
                         act_node = cons[0]
@@ -323,7 +338,7 @@ def build_forward(
                 act_override = None
                 if act_node is not None:
                     act_override = (
-                        str(act_node.attr("activation", "linear")),
+                        str(act_node.attr("activation", act_node.attr("kind", "relu"))),
                         float(act_node.attr("leaky_alpha", 0.3)),
                     )
                 built = build_chain(
@@ -454,6 +469,16 @@ def compile_graph(
     forward = build_forward(graph, options)
 
     if mesh is not None:
+        if options.auto_output_layout:
+            # Output layouts on the mesh path are dictated by the output
+            # NamedShardings / shard_map results; Layout.AUTO applies only
+            # to the single-device jit below. Say so once instead of
+            # silently ignoring the option.
+            log.warning(
+                "auto_output_layout only applies to the single-device "
+                "Engine path; ignored under a mesh (outputs take the "
+                "sharding-dictated layout)."
+            )
         from shadernn_tpu.parallel.sharding import shard_compiled
 
         return shard_compiled(graph, options, params, forward, mesh)

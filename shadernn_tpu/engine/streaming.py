@@ -25,6 +25,7 @@ import dataclasses
 import queue
 import threading
 import time
+from functools import partial
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -125,7 +126,17 @@ class StreamingEngine:
             means = tuple(ingest.get("means", (0.0,)))
             norms = tuple(ingest.get("norms", (1 / 255.0,)))
 
-            @jax.jit
+            jit_kwargs = {}
+            if engine.options.auto_output_layout:
+                # Same serving optimization as the single-device Engine
+                # path (engine/compile.py): let XLA keep the producer
+                # layout for outputs instead of inserting a row-major
+                # relayout copy (measured -107us on ESPCN 1080p b8).
+                from jax.experimental.layout import Format, Layout
+
+                jit_kwargs["out_shardings"] = Format(Layout.AUTO)
+
+            @partial(jax.jit, **jit_kwargs)
             def fused_step(raw):
                 x = ingest_frames(raw, means=means, norms=norms,
                                   dtype_name="float32")

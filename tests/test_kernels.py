@@ -201,3 +201,25 @@ def test_chain_folds_trailing_activation():
     )
     plan = m.forward.chain_plan
     assert any("tanh_out" in members for members in plan.values()), plan
+
+
+def test_chain_folds_activation_specified_via_kind():
+    """An Activation node that carries only a `kind` attribute (the op's
+    alternate spelling, ops/elementwise.py:70) folds exactly like one
+    carrying `activation` — the fold detection mirrors the op's own
+    attribute lookup (ADVICE r2)."""
+    from shadernn_tpu.config import BackendKind, EngineOptions, Precision
+    from shadernn_tpu.engine.compile import compile_graph
+    from shadernn_tpu.models import build_model
+
+    g = build_model("espcn", h=24, w=32)
+    act = g.nodes["tanh_out"]
+    act.attrs.pop("activation")
+    act.attrs["kind"] = "tanh"
+    m = compile_graph(
+        g,
+        EngineOptions(precision=Precision.BF16, backend=BackendKind.PALLAS,
+                      batch_size=2),
+    )
+    plan = m.forward.chain_plan
+    assert any("tanh_out" in members for members in plan.values()), plan
