@@ -8,8 +8,13 @@ async dispatch overlaps stage s of micro-batch i with stage s+1 of
 micro-batch i-1; inter-stage transfers ride ICI via device_put.
 
 This is the host-driven PP path (each stage is its own jitted program on
-its own device). It composes with DP/TP/SP inside a stage when stages are
-given sub-meshes instead of single devices.
+its own device or device group). It composes with DP inside a stage:
+pass `devices` as a list of device-LISTS and each stage becomes a
+1-axis ("data") sub-mesh — params are replicated across the group, each
+micro-batch is batch-sharded over it, and inter-stage transfers resharde
+via device_put with the next stage's NamedSharding (PP x DP; covered by
+tests/test_pipeline.py::test_pipeline_dp_submesh on the 8-device CPU
+mesh).
 """
 
 from __future__ import annotations
@@ -38,9 +43,25 @@ class Stage:
     # values later stages (or the final output) need from this stage
     produces: List[str]
     flops: int
-    device: object = None
+    device: object = None       # single device, or Mesh for a sub-mesh stage
     fn: object = None  # jitted env -> env
     params: dict = None
+
+    @property
+    def mesh(self):
+        from jax.sharding import Mesh
+
+        return self.device if isinstance(self.device, Mesh) else None
+
+    def placement(self, batch_sharded: bool = True):
+        """Where stage operands live: the device itself, or a
+        NamedSharding on the stage's sub-mesh (batch axis 'data')."""
+        m = self.mesh
+        if m is None:
+            return self.device
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(m, P("data") if batch_sharded else P())
 
 
 def split_stages(graph: Graph, num_stages: int) -> List[Stage]:
@@ -111,6 +132,12 @@ class PipelinedEngine:
         self.graph = graph
         self.options = options or EngineOptions()
         devices = list(devices if devices is not None else jax.devices())
+        # Each entry is either a single device (plain PP) or a LIST of
+        # devices (PP x DP: the stage becomes a 1-axis "data" sub-mesh).
+        if devices and isinstance(devices[0], (list, tuple)):
+            from jax.sharding import Mesh
+
+            devices = [Mesh(np.asarray(list(g)), ("data",)) for g in devices]
         num_stages = num_stages or len(devices)
         assert num_stages <= len(devices)
         self.micro_batch = micro_batch
@@ -122,10 +149,14 @@ class PipelinedEngine:
 
         for stage, dev in zip(self.stages, devices):
             stage.device = dev
+            if stage.mesh is not None:
+                assert micro_batch % stage.mesh.size == 0, (
+                    f"micro_batch {micro_batch} not divisible by stage "
+                    f"{stage.index} sub-mesh size {stage.mesh.size}")
             stage.params = jax.device_put(
                 {k: v for k, v in all_params.items()
                  if k in {n.name for n in stage.nodes}},
-                dev,
+                stage.placement(batch_sharded=False),
             )
 
             def make_fn(stage):
@@ -158,6 +189,18 @@ class PipelinedEngine:
             [f"{s.flops/1e6:.1f}M@{s.device}" for s in self.stages],
         )
 
+    @staticmethod
+    def _place(x, stage):
+        """Move x to the stage's device / batch-sharding, skipping the
+        transfer when it already lives there."""
+        target = stage.placement()
+        if stage.mesh is None:
+            if getattr(x, "devices", lambda: None)() == {target}:
+                return x
+        elif getattr(x, "sharding", None) == target:
+            return x
+        return jax.device_put(x, target)
+
     def run(self, inputs: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         """Split the batch into micro-batches, stream them through the
         stages (async dispatch overlaps stages across micro-batches), and
@@ -173,21 +216,17 @@ class PipelinedEngine:
             env = {
                 k: jax.device_put(
                     jnp.asarray(v[m * mb : (m + 1) * mb]).astype(act_dtype),
-                    self.stages[0].device,
+                    self.stages[0].placement(),
                 )
                 for k, v in inputs.items()
             }
             for stage in self.stages:
                 missing = [k for k in stage.consumes if k not in env]
                 assert not missing, f"stage {stage.index} missing {missing}"
-                # Only cross-stage tensors transfer (direct D2D, async);
-                # same-device tensors pass through untouched.
-                staged = {
-                    k: env[k]
-                    if getattr(env[k], "devices", lambda: None)() == {stage.device}
-                    else jax.device_put(env[k], stage.device)
-                    for k in stage.consumes
-                }
+                # Only cross-stage tensors transfer (direct D2D, async;
+                # resharded onto the stage's sub-mesh when it has one);
+                # already-placed tensors pass through untouched.
+                staged = {k: self._place(env[k], stage) for k in stage.consumes}
                 outs = stage.fn(stage.params, staged)
                 env.update(outs)
             inflight.append({o: env[o] for o in self.graph.output_names})
@@ -229,12 +268,12 @@ class PipelinedEngine:
             env = {
                 k: jax.device_put(
                     jnp.asarray(v).astype(self.options.precision.activation_dtype),
-                    self.stages[0].device,
+                    self.stages[0].placement(),
                 )
                 for k, v in mb_in.items()
             }
             for stage in self.stages:
-                staged = {k: jax.device_put(env[k], stage.device)
+                staged = {k: jax.device_put(env[k], stage.placement())
                           for k in stage.consumes}
                 outs = stage.fn(stage.params, staged)
                 jax.block_until_ready(outs)

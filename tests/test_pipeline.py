@@ -68,6 +68,36 @@ def test_pipeline_skip_connections(rng):
     oracle.compare(got, want, 1e-4, "pipeline-unet-skips")
 
 
+def test_pipeline_dp_submesh(rng):
+    """PP x DP: 4 stages, each a 2-device 'data' sub-mesh. Params are
+    replicated within a stage group, micro-batches batch-shard over it,
+    and inter-stage transfers reshard onto the next group's sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()[:8]
+    groups = [devs[0:2], devs[2:4], devs[4:6], devs[6:8]]
+    g = build_model("espcn", h=16, w=24)
+    batch = 8
+    x = rng.random((batch, 16, 24, 1), dtype=np.float32)
+
+    single = compile_graph(build_model("espcn", h=16, w=24),
+                           EngineOptions(batch_size=batch))
+    want = np.asarray(single.run_single(x))
+
+    pipe = PipelinedEngine(
+        build_model("espcn", h=16, w=24), EngineOptions(),
+        devices=groups, micro_batch=2,
+    )
+    # every stage got a 2-device sub-mesh with axis 'data'
+    assert all(s.mesh is not None and s.mesh.size == 2 for s in pipe.stages)
+    # params replicated within the group, inputs batch-sharded over it
+    s0 = pipe.stages[0]
+    p = next(iter(next(iter(s0.params.values())).values()))
+    assert p.sharding == NamedSharding(s0.mesh, P())
+    got = np.asarray(pipe.run({g.input_names[0]: x})[g.output_names[0]])
+    oracle.compare(got, want, 1e-4, "pipeline-dp-submesh")
+
+
 def test_pipeline_throughput_stats(rng):
     """Overlap metric exists and is self-consistent (W7: overlap was never
     measured). CPU timings are noisy, so assert structure + sanity, not
