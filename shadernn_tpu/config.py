@@ -102,6 +102,12 @@ class EngineOptions:
     # or "gspmd" (XLA auto-partitioning; drops Pallas and disables TP under
     # SP due to a jax-0.9 GSPMD conv miscompile — kept as a baseline).
     spmd_mode: str = "shard_map"
+    # Fused conv-chain kernel format: "auto" (packed-column where
+    # supported, im2col otherwise), "packed", or "im2col". The packed
+    # format (kernels/chain_packed_pallas.py) is MXU-bound — the im2col
+    # one (kernels/chain_pallas.py) is VPU-store-bound and kept for
+    # mid-graph chains and as an A/B baseline.
+    chain_format: str = "auto"
     # Fold BatchNorm into preceding conv weights at load (the reference
     # fuses BN into the conv shader epilogue: conv2dGL.cpp:666-747).
     fold_batchnorm: bool = True

@@ -341,6 +341,37 @@ def build_forward(
                         str(act_node.attr("activation", act_node.attr("kind", "relu"))),
                         float(act_node.attr("leaky_alpha", 0.3)),
                     )
+                # Packed-column format first (kernels/chain_packed_pallas.py):
+                # MXU-bound, no per-dot patch assembly. Falls back to the
+                # im2col chain kernel when unsupported (mid-graph HaloedValue
+                # inputs, odd-channel bf16, o>32, k>9) or when forced off.
+                if (
+                    options.chain_format in ("auto", "packed")
+                    and tail in ("c1", "d2s2")
+                    and not isinstance(v, HaloedValue)
+                ):
+                    from shadernn_tpu.kernels.chain_packed_pallas import (
+                        build_chain_packed, fused_conv_chain_packed,
+                    )
+
+                    built_p = build_chain_packed(
+                        views,
+                        graph.nodes[node.inputs[0]].out_spec.c,
+                        act_dtype,
+                        act_override=act_override,
+                    )
+                    if built_p is not None:
+                        layer_params, pspecs = built_p
+                        res = fused_conv_chain_packed(
+                            nhwc(v), layer_params, pspecs,
+                            interpret=_interpret_mode(), tail=tail,
+                        )
+                        env[run[-1].name] = res
+                        if tail_node is not None:
+                            env[tail_node.name] = res
+                        if act_node is not None:
+                            env[act_node.name] = res
+                        continue
                 built = build_chain(
                     views,
                     graph.nodes[node.inputs[0]].out_spec.c,

@@ -1,0 +1,531 @@
+"""Column-packed fused conv-chain kernel — the format redesign that moves
+the chain from VPU-store-bound to MXU-bound.
+
+Why: the im2col chain kernel (chain_pallas.py) assembles, per MXU dot, kw
+lane-shifted copies of the input slab into a patch scratch. DEVNOTES'
+bound analysis measured that patch assembly as the binding resource
+(~1.7G VPU element-stores per ESPCN b8 step -> 1.47 ms at the VPU store
+ceiling, only 9.4% of MXU peak). This kernel eliminates the per-dot
+stores entirely with a *column-packed* activation format:
+
+    (row, qx*c, G)   with  G = W/8 lane groups in lanes,
+                           qx in [0, 8+kw-1) packed-column slots and
+                           c channels in sublanes (qx-major).
+
+Lane group g, slot qx holds image column  8*(g-1) + qx - pl  (one left
+zero-margin group; pl = the consumer conv's left pad). A conv window for
+any output column of group g then lives entirely inside sublanes of lane
+g: the MXU dot
+
+    Wmat[(dy, qx, c), (rr, px, o)]  x  slab[(dy, qx, c), g]
+
+computes ALL 8 columns px of every group at once (M = r*8*o, full 128
+for o=16), reading the previous layer's scratch directly — no im2col.
+The (px, dx) -> qx = px+dx geometry is absorbed into the *weight matrix*
+(zero-padded where qx-px is outside [0, kw)): zero entries cost MXU
+slots, not VPU stores. This is DEVNOTES' "channel-packing multiple W
+columns per lane group": one stored element feeds every (px, dx) tap
+with px + dx = qx.
+
+Per output row the epilogue writes the dot result once into the next
+layer's scratch: an aligned store at sublane offset pl*c (the in-group
+bulk) plus kw-1 single-lane-shifted margin rows (the columns a window
+borrows from groups g+-1). VPU stores per step drop ~8x; the kernel
+becomes MXU-slot-bound with a printable bound:
+
+    t_floor = sum_l rows_l * (r*8*o)_l * K_l * G * 2 / MXU_peak_flops
+
+where K_l = (kh+r-1) * qxp * c — the *padded* contraction including the
+weight-matrix zeros (useful fraction kh*kw/( (kh+r-1)*qxp ) ~ 30% for
+3x3; the padding is the price of zero patch assembly and is counted in
+the printed bound, see bench.py).
+
+The model input is pre-packed by XLA (strided slices build the qx
+overlap; one fused pad+transpose, bandwidth-bound on the small input),
+so the kernel DMAs packed rows straight from HBM.
+
+Reference analog: ShaderNN's MNN-style tiled compute-shader conv packs
+IC4/OC4 texel blocks for the same reason — feed the MAC units without
+per-tap gather (shadertemplate_cs_conv2d.glsl:24-80, conv2dGL.cpp:1036).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from shadernn_tpu.kernels.conv_pallas import (
+    MB, MH, _mxu_precision, _round_up,
+)
+from shadernn_tpu.ops.common import apply_activation
+
+P = 8  # image columns per lane group
+GL = 1  # left zero-margin groups
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedLayerSpec:
+    kh: int
+    kw: int
+    c: int  # true input channels
+    o: int  # true output channels (no tile padding needed in this format)
+    pt: int
+    pb: int
+    pl: int
+    pr: int
+    activation: str
+    alpha: float
+    r: int  # output rows per dot (M = r*8*o)
+    qxp: int  # padded qx slots of this layer's INPUT scratch
+
+
+def _plan_rows(specs: Sequence[PackedLayerSpec], th: int):
+    n = len(specs)
+    a = [0] * (n + 1)
+    b = [0] * (n + 1)
+    for l in range(n - 1, -1, -1):
+        a[l] = a[l + 1] + specs[l].pt
+        b[l] = b[l + 1] + (specs[l].kh - 1 - specs[l].pt)
+    rows = [th + a[l] + b[l] for l in range(n + 1)]
+    return a, rows
+
+
+def _qx_pad(kw: int, c: int, dtype) -> int:
+    """Smallest qxp >= 8+kw-1 with qxp*c a multiple of the sublane tile."""
+    tile = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+    q = P + kw - 1
+    while (q * c) % tile:
+        q += 1
+    return q
+
+
+def _packed_kernel(
+    x_hbm,  # (N, Hp_in, qxp0*c0, Gp) packed input
+    *refs,
+    specs: Tuple[PackedLayerSpec, ...],
+    th: int,
+    gp: int,
+    h_list: Tuple[int, ...],
+    w_list: Tuple[int, ...],
+    a_offsets: Tuple[int, ...],
+    rows_list: Tuple[int, ...],
+    n_h_tiles: int,
+    hp_in: int,
+    compute_dtype,
+    tail: str,
+):
+    nlayers = len(specs)
+    w_refs = refs[0:nlayers]
+    scale_refs = refs[nlayers : 2 * nlayers]
+    offset_refs = refs[2 * nlayers : 3 * nlayers]
+    out_ref = refs[3 * nlayers]
+    xs = refs[3 * nlayers + 1]  # (2, rows0, 8*c0, Gp) phase layout
+    s0 = refs[3 * nlayers + 2]  # (rows0, qxp0*c0, Gp) layer-0 qx slab
+    layer_scratch = refs[3 * nlayers + 3 : 3 * nlayers + 2 + nlayers]
+    sem = refs[-1]
+
+    i = pl.program_id(1)
+    rows0 = rows_list[0]
+
+    def dma(slot, tile_idx):
+        n = pl.program_id(0)
+        start = jnp.clip(tile_idx * th - a_offsets[0], 0, hp_in - rows0)
+        return pltpu.make_async_copy(
+            x_hbm.at[n, pl.ds(start, rows0)], xs.at[slot], sem.at[slot]
+        )
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        dma(slot, i).start()
+        # Zero the padding qx slots once: the weight rows there are zero,
+        # but 0 * uninitialized-VMEM could still be NaN.
+        s0spec = specs[0]
+        used0 = (P + s0spec.kw - 1) * s0spec.c
+        if used0 < s0spec.qxp * s0spec.c:
+            s0[:, used0:, :] = jnp.zeros(
+                (rows0, s0spec.qxp * s0spec.c - used0, gp), compute_dtype
+            )
+        for l in range(nlayers - 1):
+            ns = specs[l + 1]
+            used = (P + ns.kw - 1) * ns.c
+            if used < ns.qxp * ns.c:
+                layer_scratch[l][:, used:, :] = jnp.zeros(
+                    (rows_list[l + 1], ns.qxp * ns.c - used, gp), compute_dtype
+                )
+
+    @pl.when(i + 1 < n_h_tiles)
+    def _():
+        dma(nxt, i + 1).start()
+
+    dma(slot, i).wait()
+
+    # Assemble layer 0's qx slab from the phase rows: qx = pl0 + b for the
+    # aligned bulk, plus pl0 left / kw-1-pl0 right single-lane-shift rows
+    # (xq[qx][g] = phase[qx-pl0+8][g-1] / phase[qx-pl0-8][g+1]).
+    sp0 = specs[0]
+    c0, pl0 = sp0.c, sp0.pl
+    z0 = jnp.zeros((c0, 1), compute_dtype)
+    for row in range(rows0):
+        ph = xs[slot, row]  # (8*c0, Gp)
+        s0[row, pl0 * c0 : (pl0 + P) * c0] = ph
+        for qx in range(pl0):
+            b = qx - pl0 + P
+            s0[row, qx * c0 : (qx + 1) * c0, 1:] = ph[
+                b * c0 : (b + 1) * c0, : gp - 1
+            ]
+            s0[row, qx * c0 : (qx + 1) * c0, 0:1] = z0
+        for t2 in range(sp0.kw - 1 - pl0):
+            qx = pl0 + P + t2
+            s0[row, qx * c0 : (qx + 1) * c0, : gp - 1] = ph[
+                t2 * c0 : (t2 + 1) * c0, 1:
+            ]
+            s0[row, qx * c0 : (qx + 1) * c0, gp - 1 : gp] = z0
+
+    gid = jax.lax.broadcasted_iota(jnp.int32, (1, gp), 1)
+
+    for l, spec in enumerate(specs):
+        wmat = w_refs[l][...]
+        if wmat.dtype != compute_dtype:
+            wmat = wmat.astype(compute_dtype)
+        scale = scale_refs[l][...]  # (M, 1) f32, o-minor (rr, px, o) order
+        offset = offset_refs[l][...]
+        kdim = wmat.shape[0]
+        last = l == nlayers - 1
+        out_rows = rows_list[l + 1]
+        r, o = spec.r, spec.o
+        m = r * P * o
+        rows_patch = spec.kh + r - 1
+        # M-order ids for masking: rr (sub-row) and px (column-in-group)
+        mi = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        rid = mi // (P * o)
+        pxv = (mi // o) - (mi // (P * o)) * P  # (mi // o) % P
+        col = P * gid + pxv - P * GL  # image column of (px, g)
+        colok = (col >= 0) & (col < w_list[l])
+        n_dots = -(-out_rows // r)
+        for t in range(n_dots):
+            j0 = min(t * r, out_rows - r)  # tail tile recomputes rows
+            if l == 0:
+                slab = s0[j0 : j0 + rows_patch]
+            else:
+                slab = layer_scratch[l - 1][j0 : j0 + rows_patch]
+            patch = slab.reshape(kdim, gp)
+            acc = jax.lax.dot_general(
+                wmat,
+                patch,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mxu_precision(compute_dtype),
+            )  # (M, Gp) f32
+            y = acc * scale + offset
+            y = apply_activation(y, spec.activation, spec.alpha)
+            # margins must be EXACT zeros (they are the next conv's padding)
+            g0 = i * th - a_offsets[l + 1] + j0
+            rowok = (g0 + rid >= MH) & (g0 + rid < MH + h_list[l])
+            y = y * (rowok & colok).astype(jnp.float32)
+            if last and tail == "c1":
+                # (N, hp*8, Gp): row j, column-slot px at sublane j*8+px.
+                yc = y.astype(out_ref.dtype)
+                for rr in range(r):
+                    out_ref[0, (j0 + rr) * P : (j0 + rr + 1) * P] = yc[
+                        rr * P : (rr + 1) * P
+                    ]
+            elif last and tail == "d2s2":
+                # depth_to_space(2) for o=4 heads: channel py*2+px2 lands at
+                # out (2j+py, 2w+px2), w = 8(g-1)+px. Emit u32 bf16-pairs in
+                # packed-column layout; XLA unpacks outside (bandwidth-bound).
+                yb = y.astype(jnp.bfloat16)
+
+                def pack(u, v):
+                    u16 = jax.lax.bitcast_convert_type(u, jnp.uint16)
+                    v16 = jax.lax.bitcast_convert_type(v, jnp.uint16)
+                    return u16.astype(jnp.uint32) | (v16.astype(jnp.uint32) << 16)
+
+                for rr in range(r):
+                    base = rr * P * o
+                    for py in (0, 1):
+                        for px in range(P):
+                            b = base + px * o + 2 * py
+                            u32 = pack(yb[b : b + 1], yb[b + 1 : b + 2])
+                            out_ref[0, 2 * (j0 + rr) + py, px, :] = u32[0]
+            elif last:  # tail == "none": packed rows, unpacked by XLA
+                yc = y.astype(out_ref.dtype)
+                for rr in range(r):
+                    out_ref[0, (j0 + rr) * P * o : (j0 + rr + 1) * P * o] = yc[
+                        rr * P * o : (rr + 1) * P * o
+                    ]
+            else:
+                nspec = specs[l + 1]
+                npl, nkw, nc = nspec.pl, nspec.kw, nspec.c  # nc == o
+                yc = y.astype(compute_dtype)
+                zcol = jnp.zeros((nc, 1), compute_dtype)
+                for rr in range(r):
+                    blk = yc[rr * P * o : (rr + 1) * P * o]  # (8*o, Gp)
+                    row = j0 + rr
+                    # bulk: in-group columns land at qx = px + npl
+                    layer_scratch[l][row, npl * nc : (npl + P) * nc] = blk
+                    # left margins qx < npl come from group g-1, px=8-npl+qx
+                    for qx in range(npl):
+                        src = blk[(P - npl + qx) * nc : (P - npl + qx + 1) * nc]
+                        layer_scratch[l][row, qx * nc : (qx + 1) * nc, 1:] = (
+                            src[:, : gp - 1]
+                        )
+                        layer_scratch[l][row, qx * nc : (qx + 1) * nc, 0:1] = zcol
+                    # right margins qx >= npl+8 come from group g+1, px=qx-npl-8
+                    for t2 in range(nkw - 1 - npl):
+                        qx = npl + P + t2
+                        src = blk[t2 * nc : (t2 + 1) * nc]
+                        layer_scratch[l][
+                            row, qx * nc : (qx + 1) * nc, : gp - 1
+                        ] = src[:, 1:]
+                        layer_scratch[l][
+                            row, qx * nc : (qx + 1) * nc, gp - 1 : gp
+                        ] = zcol
+
+
+def pack_input(x, compute_dtype):
+    """XLA pre-pack: NHWC (N,H,W,C) -> phase layout (N, MH+H+MB, 8*C, Gp)
+    where sublane (b, c) of lane g holds image column 8*(g-1)+b. ONE
+    reshape+transpose (a single data-formatting copy, ~bandwidth); the qx
+    overlap slab is assembled in-kernel from aligned copies + two
+    single-lane shifts (strided slices here measured 197us EACH on
+    XLA:TPU — 2.4 ms of a 3.9 ms step). Returns (packed, Gp)."""
+    n, h, w, c = x.shape
+    gp = _round_up(GL + -(-w // P) + 1, 128)
+    xw = jnp.pad(
+        x.astype(compute_dtype),
+        ((0, 0), (MH, MB), (P * GL, P * gp - P * GL - w), (0, 0)),
+    )  # (N, Hp, 8*Gp, C)
+    hp = xw.shape[1]
+    xq = xw.reshape(n, hp, gp, P, c)
+    xq = jnp.transpose(xq, (0, 1, 3, 4, 2))  # (N, Hp, 8, C, Gp)
+    return xq.reshape(n, hp, P * c, gp), gp
+
+
+def fused_conv_chain_packed(
+    x,  # NHWC (N, H, W, C)
+    layer_params: List[dict],
+    specs: List[PackedLayerSpec],
+    *,
+    interpret: bool = False,
+    tail: str = "none",
+):
+    """Run the whole chain in packed-column format.
+
+    tail: "none" -> NHWC (N,H,W,o); "c1" (o=1) -> NHWC (N,H,W,1);
+    "d2s2" (o=4) -> NHWC (N,2H,2W,1) with the subpixel fused.
+    """
+    nlayers = len(specs)
+    th = MH
+    n, h, wdim, cin = x.shape
+    assert cin == specs[0].c
+    compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+    xq, gp = pack_input(x, compute_dtype)
+    hp_in = xq.shape[1]
+
+    h_list, w_list = [], []
+    h_out, w_out = h, wdim
+    for s in specs:
+        h_out = h_out + s.pt + s.pb - s.kh + 1
+        w_out = w_out + s.pl + s.pr - s.kw + 1
+        h_list.append(h_out)
+        w_list.append(w_out)
+
+    a_off, rows_list = _plan_rows(specs, th)
+    o_last = specs[-1].o
+    hp_out = -(-(MH + h_out + MB) // th) * th
+    n_h_tiles = hp_out // th
+
+    assert tail in ("none", "c1", "d2s2")
+    if tail == "c1":
+        assert o_last == 1
+    if tail == "d2s2":
+        assert o_last == 4 and compute_dtype == jnp.bfloat16
+
+    kernel = functools.partial(
+        _packed_kernel,
+        specs=tuple(specs), th=th, gp=gp,
+        h_list=tuple(h_list), w_list=tuple(w_list),
+        a_offsets=tuple(a_off), rows_list=tuple(rows_list),
+        n_h_tiles=n_h_tiles, hp_in=hp_in,
+        compute_dtype=compute_dtype, tail=tail,
+    )
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    operands = [xq]
+    for p in layer_params:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(p["wmat"])
+    for key in ("scale", "offset"):
+        for p, s in zip(layer_params, specs):
+            # per-o vector -> (M, 1) in (rr, px, o) order = tile r*8 times
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(
+                jnp.tile(jnp.asarray(p[key]).reshape(-1), s.r * P)
+                .reshape(-1, 1)
+                .astype(jnp.float32)
+            )
+
+    scratches = [
+        pltpu.VMEM((2, rows_list[0], P * cin, gp), compute_dtype),
+        pltpu.VMEM((rows_list[0], specs[0].qxp * cin, gp), compute_dtype),
+    ]
+    for l in range(nlayers - 1):
+        ns = specs[l + 1]
+        scratches.append(
+            pltpu.VMEM((rows_list[l + 1], ns.qxp * ns.c, gp), compute_dtype)
+        )
+    scratches.append(pltpu.SemaphoreType.DMA((2,)))
+
+    if tail == "d2s2":
+        out_specs = pl.BlockSpec(
+            (1, 2 * th, P, gp), lambda ni, hi: (ni, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((n, 2 * hp_out, P, gp), jnp.uint32)
+    else:
+        rows_sub = P * (1 if tail == "c1" else o_last)
+        out_specs = pl.BlockSpec(
+            (1, th * rows_sub, gp), lambda ni, hi: (ni, hi, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (n, hp_out * rows_sub, gp), compute_dtype
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_h_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratches,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*operands)
+
+    if tail == "d2s2":
+        half = jax.lax.bitcast_convert_type(out, jnp.bfloat16)
+        # (N, 2Hp, 8, Gp, 2) -> out col 2*(8(g-1)+px)+e = 16g+2px+e-16
+        half = jnp.transpose(half, (0, 1, 3, 2, 4)).reshape(
+            n, 2 * hp_out, 2 * P * gp
+        )
+        return half[
+            :, 2 * MH : 2 * (MH + h_out), 2 * P * GL : 2 * P * GL + 2 * w_out
+        ][..., None]
+    if tail == "c1":
+        y = out.reshape(n, hp_out, P, gp)
+        y = jnp.transpose(y, (0, 1, 3, 2)).reshape(n, hp_out, P * gp)
+        return y[:, MH : MH + h_out, P * GL : P * GL + w_out][..., None]
+    y = out.reshape(n, hp_out, P, o_last, gp)
+    y = jnp.transpose(y, (0, 1, 4, 2, 3)).reshape(n, hp_out, P * gp, o_last)
+    return y[:, MH : MH + h_out, P * GL : P * GL + w_out]
+
+
+# ---------------------------------------------------------------------------
+# Graph-level construction
+
+
+def mxu_slot_flops(specs: Sequence[PackedLayerSpec], h: int, w: int) -> int:
+    """Padded MXU slots (in FLOPs) per image: the kernel's binding bound.
+    Counts every K x M x N slot the dots issue, including weight-matrix
+    zeros and halo/margin recompute rows — bench.py prints achieved vs
+    this bound (see module docstring)."""
+    gp = _round_up(GL + -(-w // P) + 1, 128)
+    total = 0
+    a_off, rows_list = _plan_rows(specs, MH)
+    hp_out = -(-(MH + h + MB) // MH) * MH  # h here = final out rows
+    n_h_tiles = hp_out // MH
+    for l, s in enumerate(specs):
+        out_rows = rows_list[l + 1]
+        n_dots = -(-out_rows // s.r)
+        k = (s.kh + s.r - 1) * s.qxp * s.c
+        m = s.r * P * s.o
+        total += n_h_tiles * n_dots * 2 * k * m * gp
+    return total
+
+
+def build_chain_packed(
+    nodes, in_channels: int, act_dtype,
+    act_override: Optional[Tuple[str, float]] = None,
+) -> Optional[Tuple[list, list]]:
+    """Build (layer_params, specs) for a stride-1 conv run in packed
+    format, or None if unsupported (caller falls back to the im2col
+    chain kernel)."""
+    from shadernn_tpu.ops.common import padding_offsets
+    from shadernn_tpu.ops.conv import epilogue_scale_offset
+
+    dt = jnp.dtype(act_dtype)
+    if dt not in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)):
+        return None
+    specs: List[PackedLayerSpec] = []
+    raw = []
+    c = in_channels
+    for idx, node in enumerate(nodes):
+        if int(node.attr("stride", 1)) != 1:
+            return None
+        k = int(node.attr("kernel_size"))
+        o = int(node.attr("out_channels"))
+        if k > P + 1 or o > 32:  # margins span only g+-1; M <= 256
+            return None
+        if idx > 0 and dt == jnp.bfloat16 and c % 2:
+            return None  # odd sublane offsets break bf16 pair packing
+        pt, pb, pl_, pr = padding_offsets(node.attr("padding", "same"), k)
+        scale, offset = epilogue_scale_offset(node)
+        if "weight_q" in node.params:
+            w = jnp.asarray(node.params["weight_q"])
+        else:
+            w = jnp.asarray(node.params["weight"], act_dtype)
+        act = node.attr("activation", "linear")
+        alpha = float(node.attr("leaky_alpha", 0.3))
+        if act_override is not None and idx == len(nodes) - 1:
+            act, alpha = act_override
+        r = max(1, min(128 // (P * o), 8)) if P * o <= 128 else 1
+        specs.append(PackedLayerSpec(
+            kh=k, kw=k, c=c, o=o, pt=pt, pb=pb, pl=pl_, pr=pr,
+            activation=str(act), alpha=alpha, r=r,
+            qxp=_qx_pad(k, c, act_dtype),
+        ))
+        raw.append((w, scale, offset))
+        c = o
+    # geometry + VMEM gates (same margins discipline as chain_pallas)
+    th = MH
+    a_off, rows = _plan_rows(specs, th)
+    b0 = rows[0] - th - a_off[0]
+    if a_off[0] > MH or b0 > MB - th + 1:
+        return None
+    bytes_needed = 0
+    for l in range(len(specs) - 1):
+        ns = specs[l + 1]
+        bytes_needed += rows[l + 1] * ns.qxp * ns.c * dt.itemsize
+    if bytes_needed * 1300 > 60 * 1024 * 1024:
+        return None
+    for l, s in enumerate(specs):
+        r = min(s.r, rows[l + 1])
+        specs[l] = s = dataclasses.replace(s, r=r)
+    layer_params = []
+    for l, s in enumerate(specs):
+        w, scale, offset = raw[l]  # w: (kh, kw, c, o)
+        rows_patch = s.kh + s.r - 1
+        kdim = rows_patch * s.qxp * s.c
+        m = s.r * P * s.o
+        wm = jnp.zeros((rows_patch, s.qxp, s.c, s.r, P, s.o), w.dtype)
+        for rr in range(s.r):
+            for px in range(P):
+                wm = wm.at[rr : rr + s.kh, px : px + s.kw, :, rr, px, :].set(w)
+        wmat = wm.reshape(kdim, m)
+        if wmat.dtype != jnp.int8:
+            wmat = wmat.astype(act_dtype)
+        layer_params.append({"wmat": wmat, "scale": scale, "offset": offset})
+    return layer_params, specs
