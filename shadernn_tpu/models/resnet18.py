@@ -27,13 +27,18 @@ def _basic_block(b: GraphBuilder, x: str, filters: int, stride: int, name: str) 
 
 
 def build_resnet18_cifar10(
-    h: int = 32, w: int = 32, channels: int = 3, num_classes: int = 10, seed: int = 7767517
+    h: int = 32, w: int = 32, channels: int = 3, num_classes: int = 10,
+    seed: int = 7767517, base_filters: int = 64,
 ) -> Graph:
+    """base_filters scales stage widths (64/128/256/512 at the default);
+    the trained in-repo artifact (tools/train_resnet18.py) uses 16 so real
+    weights fit in git while keeping the exact zoo topology."""
+    f = base_filters
     b = GraphBuilder("resnet18_cifar10", seed=seed)
     x = b.input(h, w, channels, name="input")
-    x = b.conv2d(x, 64, 3, use_bias=False, name="stem_conv")
+    x = b.conv2d(x, f, 3, use_bias=False, name="stem_conv")
     x = b.batchnorm(x, activation="relu", name="stem_bn")
-    for stage, (filters, stride) in enumerate([(64, 1), (128, 2), (256, 2), (512, 2)]):
+    for stage, (filters, stride) in enumerate([(f, 1), (2 * f, 2), (4 * f, 2), (8 * f, 2)]):
         for blk in range(2):
             x = _basic_block(b, x, filters, stride if blk == 0 else 1, f"s{stage}b{blk}")
     x = b.adaptive_avgpool(x, 1, name="gap")

@@ -1,0 +1,82 @@
+"""Real-weight accuracy gates for the trained ResNet18 classifier.
+
+The reference validates ResNet18 with real trained weights end to end
+(demo/test/unittest/resnet18Test.cpp:87-152, demo/test_resnet18.sh).
+These gates do the same with the in-repo trained artifact
+(models/artifacts/resnet18_cls10_trained*, tools/train_resnet18.py):
+true top-1 on held-out data — a semantic bug that preserves fp32/int8
+agreement on random weights cannot pass this — plus the BASELINE.md
+precision-delta discipline (bf16/int8 vs fp32) on real weights.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import shadernn_tpu as snn
+from shadernn_tpu.tools.train_resnet18 import synth_cls
+
+ART = os.path.join(
+    os.path.dirname(__file__), "..", "shadernn_tpu", "models", "artifacts"
+)
+JSON = os.path.join(ART, "resnet18_cls10_trained_layers.json")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(JSON), reason="trained artifact not built"
+)
+
+BATCH = 64
+
+
+def _eval_xy(n=256, seed=424242):
+    rng = np.random.default_rng(seed)
+    return synth_cls(rng, n)
+
+
+def _top1(eng, x, y):
+    correct = 0
+    for i in range(0, len(x), BATCH):
+        pred = np.asarray(eng.model.run_single(x[i : i + BATCH]))
+        correct += int((pred.argmax(-1) == y[i : i + BATCH]).sum())
+    return correct / len(x)
+
+
+def _engine(precision=snn.Precision.FP32):
+    return snn.Engine.from_json(
+        JSON, snn.EngineOptions(precision=precision, batch_size=BATCH)
+    )
+
+
+def test_trained_resnet18_top1():
+    x, y = _eval_xy()
+    acc = _top1(_engine(), x, y)
+    assert acc >= 0.95, acc
+
+
+def test_trained_resnet18_precision_deltas():
+    """bf16 and int8-weight top-1 within the reference delta discipline."""
+    from shadernn_tpu.quant.quantize import quantize_graph_weights
+
+    x, y = _eval_xy(n=128)
+    acc32 = _top1(_engine(), x, y)
+
+    eng16 = snn.Engine.from_json(
+        JSON, snn.EngineOptions(precision=snn.Precision.BF16, batch_size=BATCH)
+    )
+    acc16 = _top1(eng16, x, y)
+
+    g = snn.Engine.from_json(
+        JSON, snn.EngineOptions(precision=snn.Precision.INT8, batch_size=BATCH)
+    )
+    quantize_graph_weights(g.model.graph)
+    from shadernn_tpu.engine.engine import Engine
+
+    eng8 = Engine.from_graph(
+        g.model.graph,
+        snn.EngineOptions(precision=snn.Precision.INT8, batch_size=BATCH),
+    )
+    acc8 = _top1(eng8, x, y)
+
+    assert acc16 >= acc32 - 0.03, (acc32, acc16)
+    assert acc8 >= acc32 - 0.05, (acc32, acc8)
