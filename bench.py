@@ -98,13 +98,61 @@ def bench_model(name: str, precision: str, batch: int, loops: int, log,
     loggable = {k: v for k, v in stats.items() if not k.startswith("_")}
     log(f"{name} {precision} b{batch}: {loggable}")
     stats["_graph"] = graph
+    stats["_forward"] = eng.model.forward
     return stats
 
 
-def _chain_roofline(stats, log) -> dict:
-    """Measured roofline fractions for the Pallas chain kernels, true-FLOP
-    accounting (BASELINE.md >=80% gate; see DEVNOTES.md for the bound
-    analysis). Uses XLA's in-situ custom-call timings from the trace."""
+WARM_COMPILE_SNIPPET = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from shadernn_tpu.utils import enable_compile_cache
+enable_compile_cache({cache!r})
+import numpy as np, shadernn_tpu as snn
+from shadernn_tpu.models import build_model
+t0 = time.time()
+eng = snn.Engine.from_graph(build_model({name!r}), snn.EngineOptions(
+    precision=snn.Precision.{prec}, batch_size={batch}))
+x = np.random.default_rng(0).random((1, *eng.model.input_specs[
+    eng.model.graph.input_names[0]][1:]), dtype=np.float32)
+eng.model.run_single(np.repeat(x, {batch}, 0))
+print("WARM_COMPILE_S", round(time.time() - t0, 1))
+"""
+
+
+def warm_compile_s(name: str, prec: str, batch: int, log) -> float:
+    """Cold-start story (VERDICT r2 #5): rebuild the engine in a FRESH
+    process and time compile+first-run. A warm persistent/remote-compile
+    cache must bring this to seconds; in-process re-creation would only
+    test jax's in-memory executable cache and prove nothing."""
+    import subprocess
+
+    code = WARM_COMPILE_SNIPPET.format(
+        repo=_REPO, cache=os.path.join(_REPO, ".jax_cache"),
+        name=name, prec=prec, batch=batch,
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=900,
+                           capture_output=True, text=True)
+        for line in r.stdout.splitlines():
+            if line.startswith("WARM_COMPILE_S"):
+                return float(line.split()[1])
+        log(f"warm-compile subprocess gave no result: {r.stderr[-300:]}")
+    except Exception as e:
+        log(f"warm-compile subprocess failed: {e}")
+    return -1.0
+
+
+def _chain_roofline(stats, log, batch: int) -> dict:
+    """Measured roofline for the Pallas chain kernels (BASELINE.md >=80%
+    gate). Two accountings:
+
+      - true-FLOP fraction of MXU peak (the naive gate number);
+      - achieved vs the kernel's BINDING bound. For the packed-column
+        format the binding resource is padded MXU slots (weight-matrix
+        zeros + halo recompute are issued to the MXU and cost real
+        cycles); chain_packed_pallas.mxu_slot_flops computes that bound
+        from the recorded specs and the gate is achieved >= 80% of it.
+    """
     report = stats.get("_report")
     graph = stats.get("_graph")
     if report is None or graph is None:
@@ -123,10 +171,9 @@ def _chain_roofline(stats, log) -> dict:
     if not kernels:
         return {}
     k_us = sum(o.us for o in kernels)
+    peak = PEAK_FLOPS.get(report.precision, PEAK_FLOPS["bfloat16"])
     tflops = conv_flops / (k_us * 1e-6) / 1e12 if k_us else 0.0
-    frac = tflops * 1e12 / PEAK_FLOPS.get(report.precision,
-                                          PEAK_FLOPS["bfloat16"])
-    # memory side: bytes in+out of the kernels per step
+    frac = tflops * 1e12 / peak
     k_bytes = sum(o.bytes_accessed for o in kernels)
     gbs = k_bytes / (k_us * 1e-6) / 1e9 if k_us else 0.0
     out = {
@@ -134,7 +181,98 @@ def _chain_roofline(stats, log) -> dict:
         "chain_kernel_tflops_true": round(tflops, 2),
         "chain_kernel_roofline_pct": round(100 * max(frac, gbs / PEAK_HBM_GBS), 1),
     }
+    # Binding-bound model for the packed format: padded-MXU-slot floor.
+    pcs = getattr(stats.get("_forward"), "packed_chain_specs", None)
+    if pcs:
+        from shadernn_tpu.kernels.chain_packed_pallas import mxu_slot_flops
+
+        slot_flops = batch * sum(
+            mxu_slot_flops(specs, h, w) for specs, h, w in pcs.values()
+        )
+        bound_ms = slot_flops / peak * 1e3
+        out["chain_kernel_bound_ms"] = round(bound_ms, 4)
+        out["chain_kernel_pct_of_bound"] = round(100 * bound_ms / (k_us / 1e3), 1)
     log(f"chain kernel roofline: {out}")
+    return out
+
+
+def _block_roofline(stats, log) -> dict:
+    """Per-kernel roofline for the fused inverted-residual block kernels
+    (kernels/block_pallas.py): true FLOPs of the fused members vs the
+    custom-call time attributed to the block kernels in the trace."""
+    report = stats.get("_report")
+    graph = stats.get("_graph")
+    fwd = stats.get("_forward")
+    if report is None or graph is None or not getattr(fwd, "block_plan", None):
+        return {}
+    from shadernn_tpu.ops.registry import get_op
+    from shadernn_tpu.utils.profiler import PEAK_FLOPS, PEAK_HBM_GBS
+
+    members = {n for names in fwd.block_plan.values() for n in names}
+    flops = 0
+    for name in members:
+        n = graph.nodes[name]
+        in_specs = [graph.nodes[i].out_spec for i in n.inputs]
+        try:
+            flops += get_op(n.op).flops(n, in_specs)
+        except Exception:
+            pass
+    kernels = [o for o in report.ops
+               if o.category == "custom-call" or o.name.startswith("forward")]
+    if not kernels or not flops:
+        return {}
+    k_us = sum(o.us for o in kernels)
+    peak = PEAK_FLOPS.get(report.precision, PEAK_FLOPS["bfloat16"])
+    tflops = flops / (k_us * 1e-6) / 1e12 if k_us else 0.0
+    k_bytes = sum(o.bytes_accessed for o in kernels)
+    gbs = k_bytes / (k_us * 1e-6) / 1e9 if k_us else 0.0
+    out = {
+        "block_kernels_ms": round(k_us / 1e3, 4),
+        "block_kernels_tflops_true": round(tflops, 2),
+        "block_kernels_roofline_pct": round(
+            100 * max(tflops * 1e12 / peak, gbs / PEAK_HBM_GBS), 1
+        ),
+        "block_kernels_hbm_gbs": round(gbs, 1),
+    }
+    log(f"block kernels roofline: {out}")
+    return out
+
+
+def _stream_bench(batch: int, log, seconds: float = 3.0) -> dict:
+    """Continuous-batched YOLOv3-tiny video stream (BASELINE configs[4]):
+    frames through StreamingEngine -> on-device decode+NMS; reports
+    fps + p50/p99 frame latency from the stream's own stats."""
+    import shadernn_tpu as snn
+    from shadernn_tpu.engine.streaming import StreamingEngine
+    from shadernn_tpu.models import build_model
+    import time as _t
+
+    g = build_model("yolov3-tiny")
+    eng = snn.Engine.from_graph(
+        g, snn.EngineOptions(precision=snn.Precision.BF16, batch_size=batch)
+    )
+    (in_name,) = g.input_names
+    spec = g.nodes[in_name].out_spec.shape
+    rng = np.random.default_rng(0)
+    frame = rng.random(tuple(spec[1:]), dtype=np.float32)
+    # warm up the compiled step before the timed stream
+    eng.model({in_name: np.broadcast_to(frame, (batch, *spec[1:])).copy()})
+    stream = StreamingEngine(eng).start()
+    deadline = _t.monotonic() + seconds
+    fid = 0
+    while _t.monotonic() < deadline:
+        stream.submit(0, fid, frame)
+        fid += 1
+    stream.stop(drain=True)
+    st = stream.stats()
+    out = {
+        "yolo_stream_fps": round(st["throughput_fps"], 1),
+        "yolo_stream_p50_ms": round(st.get("p50_latency_ms", 0.0), 3),
+        "yolo_stream_p99_ms": round(st.get("p99_latency_ms", 0.0), 3),
+        "yolo_stream_frames": st["frames_done"],
+        "yolo_stream_avg_fill": round(st["avg_fill"], 2),
+    }
+    log(f"yolo stream: {out}")
     return out
 
 
@@ -164,20 +302,32 @@ def main():
 
     logging.disable(logging.INFO)  # keep stdout to the single JSON line
 
+    extra = {}
     if args.all:
+        # Full-zoo coverage (VERDICT r2 #4): every BASELINE config's
+        # frames/s lands in the driver JSON, not just the two headliners.
         from shadernn_tpu.models import list_models
 
+        zoo = {}
         for name in list_models():
             kw = {}
             if name == "unet":
                 kw = {"base_filters": 32}
             try:
-                bench_model(name, args.precision, args.batch, args.inner_loops,
-                            log, args.backend, args.protocol, **kw)
+                zstats = bench_model(
+                    name, args.precision, args.batch, args.inner_loops,
+                    log, args.backend, args.protocol, **kw)
+                zoo[name] = {
+                    "fps": round(zstats["frames_per_sec"], 1),
+                    "p50_ms_per_frame": round(
+                        zstats.get("p50_ms_per_frame",
+                                   zstats["mean_ms"] / args.batch), 4),
+                }
             except Exception as e:  # keep going; report the failure
                 log(f"{name}: FAILED {type(e).__name__}: {e}")
+                zoo[name] = {"error": f"{type(e).__name__}: {e}"}
+        extra["zoo"] = zoo
 
-    extra = {}
     # Secondary headline: MobileNetV2 INT8 (BASELINE.md metric row 2).
     if not args.skip_secondary and args.model == "espcn":
         try:
@@ -190,8 +340,16 @@ def main():
                 mstats.get("p50_ms_per_frame",
                            mstats["mean_ms"] / args.batch), 4)
             extra["mobilenetv2_compile_s"] = mstats["compile_s"]
+            extra.update(_block_roofline(mstats, log))
+            w = warm_compile_s("mobilenetv2", "INT8", args.batch, log)
+            if w > 0:
+                extra["mobilenetv2_warm_compile_s"] = w
         except Exception as e:
             log(f"mobilenetv2 secondary FAILED {type(e).__name__}: {e}")
+        try:
+            extra.update(_stream_bench(args.batch, log))
+        except Exception as e:
+            log(f"yolo stream FAILED {type(e).__name__}: {e}")
 
     # Headline: ESPCN 540p, per-chip frames/s.
     stats = bench_model(
@@ -200,7 +358,7 @@ def main():
     )
     fps = stats["frames_per_sec"]
     extra["output_dtype"] = args.output_dtype
-    extra.update(_chain_roofline(stats, log))
+    extra.update(_chain_roofline(stats, log, args.batch))
     extra["p50_ms_per_frame"] = round(
         stats.get("p50_ms_per_frame", stats["mean_ms"] / args.batch), 4)
     extra["compile_s"] = stats["compile_s"]

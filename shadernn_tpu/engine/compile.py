@@ -268,6 +268,11 @@ def build_forward(
             blocks[head.name] = m
             skip_names.update(n.name for n in members if n is not head)
 
+    # (specs, h, w) per packed chain, recorded at trace time (keyed by head
+    # so retraces don't duplicate) — bench.py computes the MXU-slot bound
+    # roofline from these (chain_packed_pallas.mxu_slot_flops).
+    packed_chain_specs: Dict[str, tuple] = {}
+
     def _forward_impl(params: Params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         from shadernn_tpu.kernels.chain_pallas import build_chain, fused_conv_chain
         from shadernn_tpu.kernels.conv_pallas import (
@@ -362,6 +367,10 @@ def build_forward(
                     )
                     if built_p is not None:
                         layer_params, pspecs = built_p
+                        in_spec = graph.nodes[node.inputs[0]].out_spec
+                        packed_chain_specs[node.name] = (
+                            pspecs, in_spec.h, in_spec.w
+                        )
                         res = fused_conv_chain_packed(
                             nhwc(v), layer_params, pspecs,
                             interpret=_interpret_mode(), tail=tail,
@@ -452,6 +461,7 @@ def build_forward(
         head: [n.name for n in members if n is not None]
         for head, members in blocks.items()
     }
+    forward.packed_chain_specs = packed_chain_specs
     return forward
 
 

@@ -41,7 +41,10 @@ logger = get_logger("snn_tpu.streaming")
 class Frame:
     stream_id: int
     frame_id: int
-    data: np.ndarray  # (H, W, C)
+    # (H, W, C) array for single-input graphs, or {input_name: array} for
+    # multi-input graphs (e.g. a detection head fed per-scale features, or
+    # the reference's Y+UV Calculate merge — calculationGL.cpp:28-57).
+    data: object
     enqueue_time: float = 0.0
 
 
@@ -111,7 +114,10 @@ class StreamingEngine:
         self.batch_window_s = batch_window_s
         self.results: "queue.Queue[Result]" = queue.Queue()
         self.batch_size = engine.options.batch_size
-        (self.in_name,) = engine.graph.input_names
+        self.in_names = list(engine.graph.input_names)
+        self.in_name = self.in_names[0]
+        self._latencies: List[float] = []  # per-frame seconds (bounded)
+        self.padded_frames = 0  # wasted compute: pad slots of partial batches
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.step_timer = Timer("step")
@@ -178,19 +184,35 @@ class StreamingEngine:
             if closed:
                 break
 
-    def _run_batch(self, frames: List[Frame]) -> None:
-        fill = len(frames)
-        batch = np.stack([f.data for f in frames])
-        if fill < self.batch_size:
+    def _stack_padded(self, arrays: List[np.ndarray]) -> np.ndarray:
+        batch = np.stack(arrays)
+        if len(arrays) < self.batch_size:
             # Pad to the compiled fixed shape (bucket discipline: XLA would
             # otherwise recompile per batch size).
-            pad = np.repeat(batch[-1:], self.batch_size - fill, axis=0)
+            pad = np.repeat(batch[-1:], self.batch_size - len(arrays), axis=0)
             batch = np.concatenate([batch, pad], axis=0)
-        self.step_timer.start()
-        if self._step is not None:
-            outs = self._step(jnp.asarray(batch))
+        return batch
+
+    def _run_batch(self, frames: List[Frame]) -> None:
+        fill = len(frames)
+        self.padded_frames += self.batch_size - fill
+        multi = isinstance(frames[0].data, dict)
+        if multi:
+            inputs = {
+                name: jnp.asarray(
+                    self._stack_padded([f.data[name] for f in frames])
+                )
+                for name in self.in_names
+            }
         else:
-            outs = self.engine.model({self.in_name: jnp.asarray(batch)})
+            inputs = jnp.asarray(self._stack_padded([f.data for f in frames]))
+        self.step_timer.start()
+        if multi:
+            outs = self.engine.model(inputs)
+        elif self._step is not None:
+            outs = self._step(inputs)
+        else:
+            outs = self.engine.model({self.in_name: inputs})
         outs = {k: np.asarray(v) for k, v in outs.items() if k != "__dumps__"}
         self.step_timer.stop()
         now = time.monotonic()
@@ -203,6 +225,8 @@ class StreamingEngine:
                 latency_s=now - f.enqueue_time,
                 batch_fill=fill,
             )
+            if len(self._latencies) < 100_000:  # bounded history
+                self._latencies.append(res.latency_s)
             self.frames_done += 1
             if self.on_result:
                 self.on_result(res)
@@ -212,10 +236,20 @@ class StreamingEngine:
     # -- stats -------------------------------------------------------------
     def stats(self) -> dict:
         t = self.step_timer
-        return {
+        out = {
             "frames_done": self.frames_done,
             "batches_run": self.batches_run,
             "mean_batch_ms": 1e3 * t.mean,
             "avg_fill": self.frames_done / max(self.batches_run, 1),
+            # wasted compute from padding partial batches to the bucket
+            # shape — the serving-efficiency number avg_fill only hints at
+            "padded_frames": self.padded_frames,
             "throughput_fps": self.frames_done / t.total if t.total else 0.0,
         }
+        if self._latencies:
+            lat = np.sort(np.asarray(self._latencies))
+            out["p50_latency_ms"] = 1e3 * float(lat[len(lat) // 2])
+            out["p99_latency_ms"] = 1e3 * float(
+                lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+            )
+        return out

@@ -146,3 +146,50 @@ class YOLO(OpDef):
         return jax.vmap(
             lambda bb, ss, cc: nms_fixed(bb, ss, cc, iou_t, score_t, max_det)
         )(boxes, scores, classes)
+
+
+def encode_grid(gts, gh: int, gw: int, anchors, net_hw, num_classes: int,
+                obj_logit: float = 8.0, bg_logit: float = -12.0) -> np.ndarray:
+    """Inverse of decode_grid, for end-to-end validation: synthesize a
+    feature map whose decode yields exactly `gts`.
+
+    gts: per-image list of rows [class, x, y, w, h] (top-left, normalized —
+    the mAP ground-truth format in utils/metrics.py). Each box is written
+    into its center cell with the best-matching anchor; all other cells
+    carry obj=bg_logit (score ~ 0). The reference validates its CPU YOLO
+    head the same way — hand-built features with known boxes
+    (yololayer.cpp decode at :113-175).
+    """
+    a = len(anchors)
+    no = 5 + num_classes
+    n = len(gts)
+    net_h, net_w = net_hw
+    feat = np.zeros((n, gh, gw, a, no), np.float32)
+    feat[..., 4] = bg_logit
+    feat[..., 5:] = bg_logit
+
+    def logit(p):
+        p = np.clip(p, 1e-4, 1 - 1e-4)
+        return float(np.log(p / (1 - p)))
+
+    for i, rows in enumerate(gts):
+        for cls, x, y, w, h in rows:
+            cx, cy = x + w / 2, y + h / 2
+            gx = min(int(cx * gw), gw - 1)
+            gy = min(int(cy * gh), gh - 1)
+            # best anchor by log-ratio distance in (w, h)
+            d = [
+                abs(np.log(w * net_w / aw)) + abs(np.log(h * net_h / ah))
+                for aw, ah in anchors
+            ]
+            ai = int(np.argmin(d))
+            aw, ah = anchors[ai]
+            cell = feat[i, gy, gx, ai]
+            cell[0] = logit(cx * gw - gx)
+            cell[1] = logit(cy * gh - gy)
+            cell[2] = float(np.log(w * net_w / aw))
+            cell[3] = float(np.log(h * net_h / ah))
+            cell[4] = obj_logit
+            cell[5:] = -obj_logit
+            cell[5 + int(cls)] = obj_logit
+    return feat.reshape(n, gh, gw, a * no)

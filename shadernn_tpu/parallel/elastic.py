@@ -44,6 +44,12 @@ class StepTimeout(RuntimeError):
     """A step exceeded the watchdog deadline (hung collective / dead chip)."""
 
 
+class RuntimeWedged(RuntimeError):
+    """Too many watchdog waiters stuck inside the runtime: local recovery
+    (rebuild/shrink) cannot help; the process must be restarted. Fatal —
+    never swallowed by the recovery loop."""
+
+
 # Exception types treated as device/runtime failures worth a rebuild.
 _FAILURE_TYPES = (RuntimeError, jax.errors.JaxRuntimeError, OSError, StepTimeout)
 
@@ -72,6 +78,7 @@ class ElasticEngine:
         self.excluded_ids: Set[int] = set()
         self._fail_next = 0  # test hooks
         self._fail_device: Optional[int] = None
+        self._leaked: list = []  # watchdog threads stuck in the runtime
         self._build()
 
     # -- mesh / rebuild ------------------------------------------------------
@@ -152,20 +159,21 @@ class ElasticEngine:
         return attributed
 
     # -- execution -----------------------------------------------------------
-    def _sync(self, out) -> None:
-        """Block until device completion, under the watchdog deadline."""
-        leaves = [v for v in jax.tree.leaves(out) if hasattr(v, "block_until_ready")]
-        if self.step_timeout_s is None:
-            for v in leaves:
-                v.block_until_ready()
-            return
+    MAX_LEAKED_WAITERS = 4
+
+    def _wait_with_deadline(self, fn, deadline_s: float) -> None:
+        """Run fn() on a watchdog thread; StepTimeout past the deadline.
+        A timed-out thread cannot be killed (it is blocked inside the
+        runtime) — it is tracked in _leaked and reaped when it unwedges;
+        past MAX_LEAKED_WAITERS the runtime is declared wedged beyond
+        local recovery and the failure is re-raised as fatal."""
+        self._leaked = [th for th in self._leaked if th.is_alive()]
         done = threading.Event()
         err: list = []
 
         def waiter():
             try:
-                for v in leaves:
-                    v.block_until_ready()
+                fn()
             except BaseException as we:  # surfaces via the main thread
                 err.append(we)
             finally:
@@ -173,13 +181,66 @@ class ElasticEngine:
 
         t = threading.Thread(target=waiter, daemon=True)
         t.start()
-        if not done.wait(self.step_timeout_s):
+        if not done.wait(deadline_s):
+            self._leaked.append(t)
+            if len(self._leaked) > self.MAX_LEAKED_WAITERS:
+                raise RuntimeWedged(
+                    f"{len(self._leaked)} watchdog waiters stuck in the "
+                    "runtime: wedged beyond local recovery"
+                )
             raise StepTimeout(
-                f"step exceeded {self.step_timeout_s}s watchdog deadline "
+                f"step exceeded {deadline_s}s watchdog deadline "
                 "(hung collective or dead device)"
             )
         if err:
             raise err[0]
+
+    def _sync(self, out) -> None:
+        """Block until device completion, under the watchdog deadline."""
+        leaves = [v for v in jax.tree.leaves(out) if hasattr(v, "block_until_ready")]
+        if self.step_timeout_s is None:
+            for v in leaves:
+                v.block_until_ready()
+            return
+
+        def wait_all():
+            for v in leaves:
+                v.block_until_ready()
+
+        self._wait_with_deadline(wait_all, self.step_timeout_s)
+
+    def _reset_backend(self) -> None:
+        """Best-effort runtime refresh after a timeout: the executable
+        that hung may be pinned to a wedged runtime state; clear trace and
+        executable caches so the rebuild recompiles against a fresh view
+        of the device set."""
+        try:
+            jax.clear_caches()
+            logger.warning("cleared jit caches after step timeout")
+        except Exception as e:  # never let cleanup mask the real failure
+            logger.warning("cache clear failed: %s", e)
+
+    def _probe_devices(self) -> bool:
+        """Actively probe each healthy device with a tiny transfer+compute
+        under a short deadline; exclude the ones that hang or fail. Real
+        attribution, replacing trust in the error-message regex."""
+        # 5s floor: a probe may pay a first-time compile, which the step
+        # watchdog deadline (tuned for steady-state steps) need not cover.
+        timeout = max(self.step_timeout_s or 5.0, 5.0)
+        newly_failed = False
+        for d in list(self.healthy_devices()):
+            def probe(dev=d):
+                x = jax.device_put(np.ones((8,), np.float32), dev)
+                (x + 1).block_until_ready()
+
+            try:
+                self._wait_with_deadline(probe, timeout)
+            except BaseException as e:
+                logger.warning("device %s failed probe (%s); excluding",
+                               d.id, type(e).__name__)
+                self.mark_failed(d.id)
+                newly_failed = True
+        return newly_failed
 
     def run(self, inputs: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         """One step with failure recovery. The batch is re-bucketed to the
@@ -192,7 +253,15 @@ class ElasticEngine:
                     raise RuntimeError(f"injected device failure{dev}")
                 return self._run_bucketed(inputs)
             except _FAILURE_TYPES as e:
+                if isinstance(e, RuntimeWedged):
+                    raise
                 attributed = self._on_failure(e)
+                if isinstance(e, StepTimeout):
+                    # A hang gives no device in the message: refresh the
+                    # runtime caches and actively probe for the dead chip
+                    # instead of blindly shrinking.
+                    self._reset_backend()
+                    attributed = self._probe_devices() or attributed
                 if (self.rebuilds >= self._max_rebuilds
                         or not self._plan_shrink(attributed)):
                     raise

@@ -47,19 +47,29 @@ def _shift_from_upper(x_rows, axis_name: str):
     return jax.lax.ppermute(x_rows, axis_name, perm)
 
 
-def halo_exchange(x, halo_up: int, halo_dn: int, axis_name: str):
+def halo_exchange(x, halo_up: int, halo_dn: int, axis_name: str,
+                  fill: float = 0.0):
     """Concatenate neighbor boundary rows around the local H-shard.
 
     x: (N, H_local, W, C) inside shard_map. Returns
-    (N, halo_up + H_local + halo_dn, W, C); out-of-mesh halos are zero
-    (the conv's zero padding at the true frame boundary).
+    (N, halo_up + H_local + halo_dn, W, C); out-of-mesh halos take `fill`
+    (default 0 — the conv's zero padding at the true frame boundary;
+    max-pooling passes -inf so frame-edge halos behave like the pool's
+    excluded padding instead of poisoning the max with zeros).
     """
     parts = [x]
     if halo_up > 0:
         top = _shift_from_lower(x[:, -halo_up:], axis_name)
+        if fill:
+            idx = jax.lax.axis_index(axis_name)
+            top = jnp.where(idx == 0, jnp.full_like(top, fill), top)
         parts.insert(0, top)
     if halo_dn > 0:
         bot = _shift_from_upper(x[:, :halo_dn], axis_name)
+        if fill:
+            idx = jax.lax.axis_index(axis_name)
+            n = jax.lax.psum(1, axis_name)
+            bot = jnp.where(idx == n - 1, jnp.full_like(bot, fill), bot)
         parts.append(bot)
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
 

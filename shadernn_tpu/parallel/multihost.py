@@ -145,7 +145,15 @@ def _worker(argv) -> None:
     jax.config.update("jax_platforms", "cpu")
     pid, nproc = int(argv[0]), int(argv[1])
     port = argv[2] if len(argv) > 2 else "29411"
-    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    mode = argv[3] if len(argv) > 3 else "dp"
+    if mode == "v5e16":
+        # v5e-16 shape: 4 hosts x 4 chips. Pin 4 virtual devices per
+        # process regardless of inherited XLA_FLAGS.
+        jax.config.update("jax_num_cpu_devices", 4)
+    else:
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=2"
+        )
     initialize(f"127.0.0.1:{port}", nproc, pid)
 
     import jax.numpy as jnp
@@ -155,9 +163,24 @@ def _worker(argv) -> None:
     from shadernn_tpu.models.zoo import build_model
 
     local = jax.local_device_count()
-    sharding = ShardingOptions(data=nproc * local)  # DP across hosts
-    mesh = make_multihost_mesh(sharding)
-    assert mesh.devices.shape == (nproc * local, 1, 1)
+    if mode == "v5e16":
+        # data=4 across hosts, model x spatial = 4 inside each host: the
+        # BASELINE v5e-16 layout. The process-major mesh must put ONLY
+        # data-axis collectives across the process (DCN) boundary.
+        assert nproc == 4 and local == 4, (nproc, local)
+        sharding = ShardingOptions(data=4, model=2, spatial=2)
+        mesh = make_multihost_mesh(sharding)
+        assert mesh.devices.shape == (4, 2, 2)
+        for di in range(4):
+            owners = {d.process_index for d in mesh.devices[di].flat}
+            assert len(owners) == 1, (
+                f"data-slice {di} spans processes {owners}: model/spatial "
+                "collectives would cross DCN"
+            )
+    else:
+        sharding = ShardingOptions(data=nproc * local)  # DP across hosts
+        mesh = make_multihost_mesh(sharding)
+        assert mesh.devices.shape == (nproc * local, 1, 1)
 
     per_host = local  # 1 frame per device
     options = EngineOptions(
@@ -187,9 +210,9 @@ def _worker(argv) -> None:
         ref.step(ref.params, {"input": jnp.asarray(x_global)})[g.output_names[0]]
     )
     for shard in out.addressable_shards:
-        sl = shard.index[0]
+        # full index tuple: shards may be cut along batch AND spatial axes
         np.testing.assert_allclose(
-            np.asarray(shard.data), want[sl], rtol=1e-5, atol=1e-5
+            np.asarray(shard.data), want[shard.index], rtol=1e-5, atol=1e-5
         )
     print(f"MULTIHOST_OK pid={pid} procs={jax.process_count()} "
           f"devices={jax.device_count()}", flush=True)

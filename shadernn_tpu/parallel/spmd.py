@@ -63,7 +63,7 @@ _O_PARAMS = ("weight", "weight_q", "weight_scale", "bias",
 class NodePlan:
     """Static per-node execution decision."""
 
-    mode: str  # input | local | halo_conv | dw_conv | gather | instnorm | gap | dense
+    mode: str  # input | local | halo_conv | dw_conv | pool_halo | gather | instnorm | gap | dense
     tp: bool = False  # params sharded on the model axis
     halo_up: int = 0
     halo_dn: int = 0
@@ -205,15 +205,17 @@ def plan_spmd(graph: Graph, options: EngineOptions) -> SpmdPlan:
             h_sh = False
         elif op in ("MaxPooling2D", "AveragePooling2D"):
             if h_sh:
-                k = int(node.attr("kernel_size"))
-                st = int(node.attr("stride", 1))
-                pt, _, _, _ = padding_offsets(node.attr("padding", "same"), k)
                 in_spec = graph.nodes[node.inputs[0]].out_spec
                 geo = _conv_geometry(node, in_spec.h, out.h, sp)
-                # Halo rows arrive as zeros, which would poison max/avg
-                # pools (unlike convs, where zero IS the padding value) —
-                # only run shard-local when no halo is needed at all.
-                if not (geo == (0, 0) and pt == 0):
+                if geo is not None:
+                    # Fill-value halo exchange keeps pools shard-local:
+                    # max exchanges with -inf frame-edge fill, avg
+                    # exchanges a validity mask for count-correct means
+                    # (zeros from off-mesh are exactly "excluded"). A
+                    # full-H all_gather per pool — the previous behavior —
+                    # is what pooling-heavy nets (ResNet18/U-Net) paid.
+                    plan.mode, (plan.halo_up, plan.halo_dn) = "pool_halo", geo
+                else:
                     plan.mode, h_sh = "gather", False
         elif op == "AdaptiveAvgPool2d":
             oh = int(node.attr("output_height", node.attr("output_size", 1)))
@@ -455,6 +457,35 @@ def build_spmd_forward(
                 ).astype(act_dtype)
                 if np_.tp:
                     y = gather_c(y)
+            elif np_.mode == "pool_halo":
+                x = xs[0]
+                k = int(node.attr("kernel_size"))
+                st = int(node.attr("stride", 1))
+                _, _, pl_, pr = padding_offsets(node.attr("padding", "same"), k)
+                hu, hd = np_.halo_up, np_.halo_dn
+                strides = (1, st, st, 1)
+                wdims = (1, k, k, 1)
+                hpads = ((0, 0), (0, 0), (pl_, pr), (0, 0))
+                if node.op.startswith("Max"):
+                    neg = (
+                        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                        else jnp.iinfo(x.dtype).min
+                    )
+                    xh = halo_exchange(x, hu, hd, sp_ax, fill=float(neg))
+                    y = jax.lax.reduce_window(
+                        xh, neg, jax.lax.max, wdims, strides, hpads
+                    )
+                else:  # count-correct average: exchange a validity mask
+                    xh = halo_exchange(x, hu, hd, sp_ax)
+                    ones = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
+                    oh_ = halo_exchange(ones, hu, hd, sp_ax)
+                    sums = jax.lax.reduce_window(
+                        xh, 0.0, jax.lax.add, wdims, strides, hpads
+                    )
+                    counts = jax.lax.reduce_window(
+                        oh_, 0.0, jax.lax.add, wdims, strides, hpads
+                    )
+                    y = sums / counts
             elif np_.mode == "dense":
                 x = xs[0]
                 if x.ndim > 2:

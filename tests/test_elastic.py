@@ -140,3 +140,53 @@ def test_midstream_recovery_completes_workload(rng):
     assert got.shape == want.shape == (24, 32, 48, 1)
     np.testing.assert_allclose(got, want, atol=1e-4)
     assert ee.rebuilds == 1 and jax.devices()[1].id in ee.excluded_ids
+
+
+def test_timeout_recovery_probes_and_reaps_waiters(rng, monkeypatch):
+    """A StepTimeout triggers cache refresh + active device probing (not
+    just the message regex), the stuck waiter is tracked, and recovery
+    completes on the healthy devices. Too many stuck waiters = fatal."""
+    from shadernn_tpu.parallel.elastic import StepTimeout
+
+    ee = _make(data=2, batch=2)
+    ee.step_timeout_s = 0.05
+
+    class Hang:
+        dtype = np.float32
+
+        def block_until_ready(self):
+            import time
+
+            time.sleep(0.5)
+
+    real_run = ee.engine.run
+    calls = {"n": 0}
+
+    def hang_once(inputs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {"y": Hang()}
+        return real_run(inputs)
+
+    monkeypatch.setattr(ee.engine, "run", hang_once)
+    probed = {"n": 0}
+    orig_probe = ee._probe_devices
+    monkeypatch.setattr(
+        ee, "_probe_devices",
+        lambda: probed.__setitem__("n", probed["n"] + 1) or orig_probe(),
+    )
+    out = ee.run({"input": np.zeros((2, 16, 24, 1), np.float32)})
+    assert probed["n"] == 1  # the timeout path probed the devices
+    assert ee.rebuilds == 1
+    assert len(ee._leaked) <= 1  # stuck waiter tracked, not accumulated
+    assert any(v is not None for v in out.values())
+
+    # waiter-cap: exceeding MAX_LEAKED_WAITERS is fatal, not an endless loop
+    ee2 = _make(data=1, batch=2)
+    ee2.step_timeout_s = 0.01
+    ee2._leaked = [type("T", (), {"is_alive": lambda self: True})()] * (
+        ee2.MAX_LEAKED_WAITERS + 1
+    )
+    monkeypatch.setattr(ee2.engine, "run", lambda inputs: {"y": Hang()})
+    with pytest.raises(RuntimeError, match="wedged"):
+        ee2.run({"input": np.zeros((2, 16, 24, 1), np.float32)})

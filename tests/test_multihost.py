@@ -92,3 +92,31 @@ def test_initialize_from_env_noop_without_coordinator(monkeypatch):
     from shadernn_tpu.parallel.multihost import initialize_from_env
 
     assert initialize_from_env() is False
+
+
+def test_v5e16_shaped_4x4():
+    """v5e-16-shaped CI (VERDICT r2 #9): 4 processes x 4 virtual devices,
+    data=4 across hosts with model x spatial = 2 x 2 inside each host.
+    Each worker asserts the process-major mesh keeps every model/spatial
+    submesh within one process (only data collectives cross DCN) and
+    checks its local output shards against the single-device reference."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "shadernn_tpu.parallel.multihost",
+             str(pid), "4", str(port), "v5e16"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, cwd=REPO, text=True,
+        )
+        for pid in range(4)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=280)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"MULTIHOST_OK pid={pid} procs=4" in out, out[-2000:]

@@ -274,3 +274,39 @@ def test_bilinear_upsample_gathers_under_sp(rng):
         want = np.asarray(ref.run_single(x))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
                                    err_msg=interp)
+
+
+def test_pool_halo_seam_correct(rng):
+    """Fill-value pooling halos: max (-inf fill) and count-correct avg
+    stay shard-local under SP and match the single-device result exactly
+    at shard seams (values that straddle the boundary) and frame edges."""
+    from shadernn_tpu.graph.builder import GraphBuilder
+    from shadernn_tpu.parallel.spmd import plan_spmd
+
+    def build():
+        b = GraphBuilder("poolnet")
+        x = b.input(32, 16, 3, name="input")
+        x = b.conv2d(x, 8, 3, activation="relu", name="c1")
+        x = b.maxpool(x, 2, stride=2, name="mp")      # seam at 32/4 rows
+        x = b.conv2d(x, 8, 3, activation="relu", name="c2")
+        # overlapping windows + same-pad: count-correct frame edges
+        x = b.avgpool(x, 3, stride=1, padding="same", name="ap")
+        b.conv2d(x, 4, 3, name="out")
+        return b.build()
+
+    # adversarial values at the seam rows: large magnitudes both signs
+    x = rng.standard_normal((1, 32, 16, 3)).astype(np.float32) * 3
+
+    want = np.asarray(
+        Engine.from_graph(build(), EngineOptions(batch_size=1)).run_single(x)
+    )
+    sh = ShardingOptions(data=1, model=1, spatial=4)
+    g = build()
+    plan = plan_spmd(g, EngineOptions(batch_size=1, sharding=sh))
+    assert plan.nodes["mp"].mode == "pool_halo", plan.nodes["mp"].mode
+    assert plan.nodes["ap"].mode == "pool_halo", plan.nodes["ap"].mode
+    eng = Engine.from_graph(
+        g, EngineOptions(batch_size=1, sharding=sh), mesh=make_mesh(sh)
+    )
+    got = np.asarray(eng.run_single(x))
+    oracle.compare(got, want, 1e-5, "pool-halo-sp")
