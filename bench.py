@@ -238,6 +238,36 @@ def _block_roofline(stats, log) -> dict:
     return out
 
 
+def _a8w8_bench(batch: int, loops: int, log) -> dict:
+    """MobileNetV2 with int8 ACTIVATIONS (A8W8, VERDICT r2 #7): calibrate
+    activation scales, rebuild, and A/B against the weight-only engine —
+    fps + output agreement both reported."""
+    import shadernn_tpu as snn
+    from shadernn_tpu.models import build_model
+    from shadernn_tpu.quant.calibrate import calibrate_activations
+
+    g = build_model("mobilenetv2")
+    opts = snn.EngineOptions(precision=snn.Precision.INT8, batch_size=batch)
+    eng_w = snn.Engine.from_graph(g, opts)  # weight-only (quantizes graph)
+    rng = np.random.default_rng(0)
+    spec = g.nodes[g.input_names[0]].out_spec.shape
+    x = rng.random((batch, *spec[1:]), dtype=np.float32)
+    calibrate_activations(
+        eng_w, [{g.input_names[0]: x}], percentile=None
+    )
+    eng_a = snn.Engine.from_graph(g, opts)  # act_scale attrs now engage A8W8
+    tstats = eng_a.trace_benchmark({g.input_names[0]: x}, steps=loops)
+    out_w = np.asarray(eng_w.model.run_single(x), np.float32)
+    out_a = np.asarray(eng_a.model.run_single(x), np.float32)
+    agree = float(np.mean(out_w.argmax(-1) == out_a.argmax(-1)))
+    out = {
+        "mobilenetv2_a8w8_frames_per_sec": round(tstats["frames_per_sec"], 1),
+        "mobilenetv2_a8w8_top1_agreement": round(agree, 4),
+    }
+    log(f"mobilenetv2 a8w8: {out}")
+    return out
+
+
 def _stream_bench(batch: int, log, seconds: float = 3.0) -> dict:
     """Continuous-batched YOLOv3-tiny video stream (BASELINE configs[4]):
     frames through StreamingEngine -> on-device decode+NMS; reports
@@ -292,7 +322,10 @@ def main():
                     "the full-size output")
     ap.add_argument("--skip_secondary", action="store_true",
                     help="headline model only (skip mobilenetv2-int8)")
-    ap.add_argument("--all", action="store_true", help="bench every zoo model (extra lines to stderr)")
+    ap.add_argument("--all", action="store_true",
+                    help="(kept for compatibility; the zoo runs by default)")
+    ap.add_argument("--skip_zoo", action="store_true",
+                    help="skip the full-zoo sweep (headliners only)")
     args = ap.parse_args()
 
     def log(msg):
@@ -303,13 +336,19 @@ def main():
     logging.disable(logging.INFO)  # keep stdout to the single JSON line
 
     extra = {}
-    if args.all:
-        # Full-zoo coverage (VERDICT r2 #4): every BASELINE config's
-        # frames/s lands in the driver JSON, not just the two headliners.
+    if not args.skip_zoo and not args.skip_secondary:
+        # Full-zoo coverage (VERDICT r2 #4), default-on so the driver's
+        # plain `python bench.py` captures every BASELINE config's
+        # frames/s, not just the two headliners.
         from shadernn_tpu.models import list_models
 
         zoo = {}
         for name in list_models():
+            if name.startswith("styletransfer-"):
+                # per-style weight variants share the styletransfer
+                # architecture: perf is identical, skip the recompiles
+                log(f"{name}: skipped (same architecture as styletransfer)")
+                continue
             kw = {}
             if name == "unet":
                 kw = {"base_filters": 32}
@@ -346,6 +385,10 @@ def main():
                 extra["mobilenetv2_warm_compile_s"] = w
         except Exception as e:
             log(f"mobilenetv2 secondary FAILED {type(e).__name__}: {e}")
+        try:
+            extra.update(_a8w8_bench(args.batch, args.inner_loops, log))
+        except Exception as e:
+            log(f"a8w8 FAILED {type(e).__name__}: {e}")
         try:
             extra.update(_stream_bench(args.batch, log))
         except Exception as e:

@@ -309,8 +309,12 @@ def build_forward(
                     for n in (expand, dw, project, add)
                 ]
                 head = expand if expand is not None else dw
-                in_spec = graph.nodes[head.inputs[0]].out_spec
-                built = build_invres(views, in_spec, act_dtype, batch=in_spec.n)
+                in_node = graph.nodes[head.inputs[0]]
+                in_spec = in_node.out_spec
+                built = build_invres(
+                    views, in_spec, act_dtype, batch=in_spec.n,
+                    in_act_scale=float(in_node.attrs.get("act_scale", 0.0) or 0.0),
+                )
                 out_node = add if add is not None else project
                 res = None
                 if built is not None:
@@ -365,6 +369,12 @@ def build_forward(
                         act_dtype,
                         act_override=act_override,
                     )
+                    if built_p is None and options.chain_format == "packed":
+                        log.warning(
+                            "chain_format='packed' requested but chain at "
+                            "%s is unsupported (stride/channel/kernel "
+                            "gate); falling back to im2col", node.name,
+                        )
                     if built_p is not None:
                         layer_params, pspecs = built_p
                         in_spec = graph.nodes[node.inputs[0]].out_spec

@@ -73,6 +73,12 @@ class InvResSpec:
     act_out: str  # applied after the (optional) residual add
     alpha: float = 0.3
     b_tile: int = 1  # images per grid step
+    # A8W8: calibrated activation scales (quant/calibrate.py act_scale
+    # attrs). Non-zero + int8 weights => the 1x1 matmuls quantize their
+    # activations in-kernel and run on the MXU's int8 path (2x bf16
+    # throughput); the dequant folds into the existing epilogue scale.
+    ax1: float = 0.0  # block-input scale (expand matmul)
+    ax2: float = 0.0  # depthwise-output scale (project matmul)
 
 
 def invres_vmem_bytes(spec: InvResSpec, b: int, itemsize: int) -> int:
@@ -129,13 +135,26 @@ def _invres_kernel(
 
     x = x_ref[...]  # (P, Cin)
 
+    def q8(v, scale):
+        return jnp.clip(
+            jnp.round(v.astype(jnp.float32) * (1.0 / scale)), -127, 127
+        ).astype(jnp.int8)
+
     if spec.has_expand:
-        e = jnp.dot(
-            x,
-            w1_ref[...].astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-            precision=_mxu_precision(compute_dtype),
-        )
+        if spec.ax1:
+            # A8W8: int8 x int8 -> int32 on the MXU int8 path; the
+            # activation scale is pre-folded into s1 by build_invres.
+            e = jnp.dot(
+                q8(x, spec.ax1), w1_ref[...],
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            e = jnp.dot(
+                x,
+                w1_ref[...].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+                precision=_mxu_precision(compute_dtype),
+            )
         e = e * s1_ref[...] + o1_ref[...]
         e = apply_activation(e, spec.act_expand, spec.alpha)
         epad_ref[g : g + p, :] = e.astype(compute_dtype)
@@ -177,12 +196,18 @@ def _invres_kernel(
     d = acc * sd_ref[...] + od_ref[...]
     d = apply_activation(d, spec.act_dw, spec.alpha).astype(compute_dtype)
 
-    y = jnp.dot(
-        d,
-        w2_ref[...].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-        precision=_mxu_precision(compute_dtype),
-    )
+    if spec.ax2:
+        y = jnp.dot(
+            q8(d, spec.ax2), w2_ref[...],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        y = jnp.dot(
+            d,
+            w2_ref[...].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(compute_dtype),
+        )
     y = y * s2_ref[...] + o2_ref[...]
     if spec.residual:
         y = y + x.astype(jnp.float32)
@@ -276,12 +301,14 @@ def fused_invres_block(
 # Graph-level construction
 
 
-def build_invres(views, in_spec, act_dtype, batch: int, vmem_budget: int = 48 << 20):
+def build_invres(views, in_spec, act_dtype, batch: int,
+                 vmem_budget: int = 48 << 20, in_act_scale: float = 0.0):
     """Build (operands, InvResSpec) for a matched [expand?, dw, project,
     add?] node run, or None if the geometry doesn't fit.
 
     `views` supply .params/.attr like compile.py's _NodeView so weights may
-    be tracers (params pytree) under jit.
+    be tracers (params pytree) under jit. in_act_scale: the calibrated
+    act_scale of the block's input node (0 = no A8W8 on the expand matmul).
     """
     from shadernn_tpu.ops.conv import epilogue_scale_offset
 
@@ -291,13 +318,17 @@ def build_invres(views, in_spec, act_dtype, batch: int, vmem_budget: int = 48 <<
     def wq(v):
         return v.params["weight_q"] if "weight_q" in v.params else v.params["weight"]
 
+    ax1 = ax2 = 0.0
     if expand is not None:
         w1_raw = wq(expand)  # (1, 1, Cin, E)
         e_ch = int(w1_raw.shape[-1])
         w1 = w1_raw.reshape(cin, e_ch)
-        if w1.dtype != jnp.int8:
-            w1 = w1.astype(act_dtype)
         s1, o1 = epilogue_scale_offset(expand)
+        if w1.dtype == jnp.int8 and in_act_scale > 0:
+            ax1 = float(in_act_scale)
+            s1 = jnp.asarray(s1) * ax1  # int32 acc carries 1/ax1
+        elif w1.dtype != jnp.int8:
+            w1 = w1.astype(act_dtype)
         act_expand = expand.attr("activation", "linear")
     else:
         w1 = s1 = o1 = None
@@ -313,9 +344,13 @@ def build_invres(views, in_spec, act_dtype, batch: int, vmem_budget: int = 48 <<
     w2_raw = wq(project)  # (1, 1, E, Cout)
     cout = int(w2_raw.shape[-1])
     w2 = w2_raw.reshape(e_ch, cout)
-    if w2.dtype != jnp.int8:
-        w2 = w2.astype(act_dtype)
     s2, o2 = epilogue_scale_offset(project)
+    dw_scale = float(dw.attr("act_scale", 0.0) or 0.0)
+    if w2.dtype == jnp.int8 and dw_scale > 0:
+        ax2 = dw_scale
+        s2 = jnp.asarray(s2) * ax2
+    elif w2.dtype != jnp.int8:
+        w2 = w2.astype(act_dtype)
 
     spec = InvResSpec(
         h=h, w=w, cin=cin, e=e_ch, cout=cout,
@@ -326,6 +361,7 @@ def build_invres(views, in_spec, act_dtype, batch: int, vmem_budget: int = 48 <<
         act_out=(add.attr("activation", "linear") if add is not None
                  else project.attr("activation", "linear")),
         alpha=float(dw.attr("leaky_alpha", 0.3)),
+        ax1=ax1, ax2=ax2,
     )
 
     if plan_b_tile(spec, batch, jnp.dtype(act_dtype).itemsize, vmem_budget) == 0:

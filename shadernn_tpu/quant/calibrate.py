@@ -49,7 +49,10 @@ def calibrate_activations(
     nbatches = 0
     for batch in batches:
         outs = model({k: jnp.asarray(v) for k, v in batch.items()})
-        for name, act in outs["__dumps__"].items():
+        # model inputs are activations too (the first conv's A8 operand)
+        dumps = dict(outs["__dumps__"])
+        dumps.update(batch)
+        for name, act in dumps.items():
             a = np.abs(np.asarray(act, np.float32))
             r = (
                 float(np.percentile(a, percentile))

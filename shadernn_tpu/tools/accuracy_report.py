@@ -95,6 +95,57 @@ def trained_espcn_section(log=print) -> list:
     return lines
 
 
+def trained_resnet18_section(log=print) -> list:
+    import shadernn_tpu as snn
+    from shadernn_tpu.tools.train_resnet18 import ARTIFACT_DIR, synth_cls
+
+    art = os.path.join(ARTIFACT_DIR, "resnet18_cls10_trained_layers.json")
+    if not os.path.exists(art):
+        return ["(trained artifact not built — run "
+                "`python -m shadernn_tpu.tools.train_resnet18`)"]
+    rng = np.random.default_rng(424242)
+    x, y = synth_cls(rng, 256)
+    lines = ["| precision | held-out top-1 |", "|---|---|"]
+    for prec, label in ((snn.Precision.FP32, "fp32"), (snn.Precision.BF16, "bf16"),
+                        (snn.Precision.INT8, "int8 (weight-only)")):
+        eng = snn.Engine.from_json(
+            art, snn.EngineOptions(precision=prec, batch_size=64))
+        correct = 0
+        for i in range(0, 256, 64):
+            pred = np.asarray(eng.model.run_single(x[i : i + 64]))
+            correct += int((pred.argmax(-1) == y[i : i + 64]).sum())
+        acc = correct / 256
+        log(f"trained resnet18 {label}: top-1 {acc:.3f}")
+        lines.append(f"| {label} | {acc:.3f} |")
+    return lines
+
+
+def trained_denoiser_section(log=print) -> list:
+    import shadernn_tpu as snn
+    from shadernn_tpu.tools.train_denoiser import ARTIFACT_DIR, noisy_pairs
+    from shadernn_tpu.tools.train_espcn import psnr
+
+    art = os.path.join(ARTIFACT_DIR, "spatialdenoise_trained_layers.json")
+    if not os.path.exists(art):
+        return ["(trained artifact not built — run "
+                "`python -m shadernn_tpu.tools.train_denoiser`)"]
+    x, y = noisy_pairs(np.random.default_rng(20260820), 8, 96)
+    lines = [
+        "| output | PSNR vs clean (dB) |", "|---|---|",
+        f"| noisy input (identity baseline) | {psnr(x, y):.2f} |",
+    ]
+    for prec, label in ((snn.Precision.FP32, "fp32"), (snn.Precision.BF16, "bf16"),
+                        (snn.Precision.INT8, "int8 (weight-only)")):
+        eng = snn.Engine.from_json(
+            art, snn.EngineOptions(precision=prec, batch_size=8),
+            input_hw=(96, 96))
+        pred = np.asarray(eng.model.run_single(x), np.float32)
+        p = psnr(pred, y)
+        log(f"trained denoiser {label}: {p:.2f} dB")
+        lines.append(f"| trained SpatialDenoise, {label} | {p:.2f} |")
+    return lines
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
@@ -115,6 +166,23 @@ def main(argv=None):
         "match keras.predict, and keep bf16/int8 within the delta bounds.",
         "",
         *trained_espcn_section(),
+        "",
+        "## Trained ResNet18 classifier (real weights)",
+        "",
+        "Artifact `models/artifacts/resnet18_cls10_trained*`"
+        " (tools/train_resnet18.py): the zoo topology at base_filters=16,",
+        "trained on a procedural 10-class task; true held-out top-1"
+        " (gates in tests/test_accuracy_resnet18.py).",
+        "",
+        *trained_resnet18_section(),
+        "",
+        "## Trained SpatialDenoise (real weights)",
+        "",
+        "Artifact `models/artifacts/spatialdenoise_trained*`"
+        " (tools/train_denoiser.py): true denoising PSNR vs the noisy",
+        "identity baseline (gates in tests/test_accuracy_denoiser.py).",
+        "",
+        *trained_denoiser_section(),
         "",
         "## Precision deltas across the zoo (seeded weights)",
         "",
@@ -149,5 +217,10 @@ def main(argv=None):
 if __name__ == "__main__":
     import logging
 
+    import jax
+
+    # accuracy numbers are precision comparisons, not perf: run on CPU so
+    # the report never contends with (or pays remote compiles on) the chip
+    jax.config.update("jax_platforms", "cpu")
     logging.disable(logging.INFO)
     main()
