@@ -238,6 +238,32 @@ def _block_roofline(stats, log) -> dict:
     return out
 
 
+def _prod_shape_validation(log) -> dict:
+    """Numerical gate at the PRODUCTION shape on the real chip: Pallas
+    (packed chain) vs XLA at 540p bf16. Tiny-shape CI cannot catch
+    tiling/DMA-shape bugs that only manifest at real extents (interpret
+    mode does not check DMA shapes — DEVNOTES r2); this runs the check
+    where it matters and lands the result in the driver JSON."""
+    import shadernn_tpu as snn
+    from shadernn_tpu.models import build_model
+
+    x = np.random.default_rng(7).random((2, 540, 960, 1), dtype=np.float32)
+    outs = {}
+    for backend in (snn.BackendKind.PALLAS, snn.BackendKind.XLA):
+        eng = snn.Engine.from_graph(
+            build_model("espcn"),
+            snn.EngineOptions(precision=snn.Precision.BF16, batch_size=2,
+                              backend=backend),
+        )
+        outs[backend] = np.asarray(eng.model.run_single(x), np.float32)
+    diff = float(np.max(np.abs(outs[snn.BackendKind.PALLAS]
+                               - outs[snn.BackendKind.XLA])))
+    out = {"prod_shape_max_abs_diff": round(diff, 5),
+           "prod_shape_validation": "pass" if diff < 0.1 else "FAIL"}
+    log(f"production-shape validation (540p bf16 pallas-vs-xla): {out}")
+    return out
+
+
 def _a8w8_bench(batch: int, loops: int, log) -> dict:
     """MobileNetV2 with int8 ACTIVATIONS (A8W8, VERDICT r2 #7): calibrate
     activation scales, rebuild, and A/B against the weight-only engine —
@@ -393,6 +419,10 @@ def main():
             extra.update(_stream_bench(args.batch, log))
         except Exception as e:
             log(f"yolo stream FAILED {type(e).__name__}: {e}")
+        try:
+            extra.update(_prod_shape_validation(log))
+        except Exception as e:
+            log(f"prod-shape validation FAILED {type(e).__name__}: {e}")
 
     # Headline: ESPCN 540p, per-chip frames/s.
     stats = bench_model(
