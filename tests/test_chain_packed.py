@@ -1,0 +1,115 @@
+"""Direct-API tests for the packed-column chain kernel
+(kernels/chain_packed_pallas.py) against a float64 conv oracle: all three
+tails, cin in {1, 4, 16} heads (the SpaceToDepth-folded denoiser enters
+with cin=4), and the k=9 styletransfer-stem geometry. Engine-level
+coverage lives in test_kernels.py (ESPCN d2s2 / denoiser c1 through
+compile.py's planner); these pin the kernel's own geometry handling.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shadernn_tpu.kernels.chain_packed_pallas import (
+    build_chain_packed, fused_conv_chain_packed,
+)
+
+
+class FakeNode:
+    def __init__(self, k, o, act="relu", w=None, b=None):
+        self._a = dict(kernel_size=k, out_channels=o, activation=act,
+                       padding="same", stride=1, use_bias=True)
+        self.params = dict(weight=w, bias=b)
+
+    def attr(self, key, d=None):
+        return self._a.get(key, d)
+
+
+def conv_ref(x, w, b, act):
+    kh, kw, c, o = w.shape
+    ph, pw = kh // 2, kw // 2
+    xp = np.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    n, h, wd, _ = x.shape
+    y = np.zeros((n, h, wd, o))
+    for dy in range(kh):
+        for dx in range(kw):
+            y += np.einsum(
+                "nhwc,co->nhwo", xp[:, dy : dy + h, dx : dx + wd, :], w[dy, dx]
+            )
+    y += b
+    if act == "relu":
+        y = np.maximum(y, 0)
+    elif act == "tanh":
+        y = np.tanh(y)
+    return y
+
+
+def _build(rng, cfg, cin, dtype):
+    nodes, layers = [], []
+    c = cin
+    for k, o, act in cfg:
+        w = (rng.standard_normal((k, k, c, o)) * 0.25).astype(np.float32)
+        b = (rng.standard_normal(o) * 0.1).astype(np.float32)
+        nodes.append(FakeNode(k, o, act, w, b))
+        layers.append((w, b, act))
+        c = o
+    built = build_chain_packed(nodes, cin, dtype)
+    assert built is not None
+    return built, layers
+
+
+def _oracle(x, layers):
+    ref = x.astype(np.float64)
+    for w, b, act in layers:
+        ref = conv_ref(ref, w.astype(np.float64), b.astype(np.float64), act)
+    return ref
+
+
+@pytest.mark.parametrize("cin", [1, 4, 16])
+def test_packed_chain_c1_tail(rng, cin):
+    (lp, specs), layers = _build(
+        rng, [(3, 16, "relu"), (3, 8, "relu"), (3, 1, "linear")], cin,
+        jnp.float32,
+    )
+    x = rng.standard_normal((2, 19, 41, cin)).astype(np.float32)
+    got = np.asarray(fused_conv_chain_packed(
+        jnp.asarray(x), lp, specs, interpret=True, tail="c1"))
+    ref = _oracle(x, layers)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_packed_chain_d2s2_tail_bf16(rng, fp16_threshold):
+    (lp, specs), layers = _build(
+        rng, [(5, 16, "relu"), (3, 16, "relu"), (3, 4, "tanh")], 1,
+        jnp.bfloat16,
+    )
+    x = rng.standard_normal((2, 21, 50, 1)).astype(np.float32)
+    got = np.asarray(fused_conv_chain_packed(
+        jnp.asarray(x, jnp.bfloat16), lp, specs, interpret=True, tail="d2s2"
+    ), np.float32)
+    ref = _oracle(x, layers)
+    n, h, w, _ = ref.shape
+    ref = ref.reshape(n, h, w, 2, 2).transpose(0, 1, 3, 2, 4).reshape(
+        n, 2 * h, 2 * w, 1
+    )
+    assert got.shape == ref.shape
+    # bf16 intermediates through 3 layers of ~N(0, .25) weights: keep the
+    # reference's fp16 discipline scaled by the activation magnitude
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) / scale < fp16_threshold
+
+
+@pytest.mark.parametrize("cfg", [
+    [(9, 6, "relu"), (3, 2, "relu")],          # styletransfer-stem k9
+    [(5, 16, "relu"), (3, 16, "relu"), (3, 4, "linear")],  # espcn body
+])
+def test_packed_chain_none_tail(rng, cfg, fp32_threshold):
+    (lp, specs), layers = _build(rng, cfg, 1, jnp.float32)
+    x = rng.standard_normal((2, 21, 50, 1)).astype(np.float32)
+    got = np.asarray(fused_conv_chain_packed(
+        jnp.asarray(x), lp, specs, interpret=True, tail="none"))
+    ref = _oracle(x, layers)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=fp32_threshold)
