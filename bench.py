@@ -210,13 +210,20 @@ def _block_roofline(stats, log) -> dict:
 
     members = {n for names in fwd.block_plan.values() for n in names}
     flops = 0
+    dw_flops = 0  # the VPU component (9 masked FMAs per pixel-channel)
+    mm_flops = 0  # the MXU component (the two 1x1 matmuls)
     for name in members:
         n = graph.nodes[name]
         in_specs = [graph.nodes[i].out_spec for i in n.inputs]
         try:
-            flops += get_op(n.op).flops(n, in_specs)
+            f = get_op(n.op).flops(n, in_specs)
         except Exception:
-            pass
+            continue
+        flops += f
+        if n.op == "SeparableConv2D":
+            dw_flops += f
+        elif n.op == "Conv2D":
+            mm_flops += f
     kernels = [o for o in report.ops
                if o.category == "custom-call" or o.name.startswith("forward")]
     if not kernels or not flops:
@@ -233,6 +240,11 @@ def _block_roofline(stats, log) -> dict:
             100 * max(tflops * 1e12 / peak, gbs / PEAK_HBM_GBS), 1
         ),
         "block_kernels_hbm_gbs": round(gbs, 1),
+        # component split for the binding-bound argument (DEVNOTES r3):
+        # the depthwise runs as 9 masked VPU FMAs (not MXU), so the MXU
+        # fraction alone understates how close the kernel is to ITS wall.
+        "block_dw_vpu_gflop": round(dw_flops / 1e9, 2),
+        "block_matmul_gflop": round(mm_flops / 1e9, 2),
     }
     log(f"block kernels roofline: {out}")
     return out
@@ -321,12 +333,20 @@ def _stream_bench(batch: int, log, seconds: float = 3.0) -> dict:
         fid += 1
     stream.stop(drain=True)
     st = stream.stats()
+    # On the remote-compile tunnel each dispatch pays the host<->device
+    # RTT (~400 ms), so stream fps here measures the TUNNEL, not the
+    # engine; the device-side step rate for the same model is the zoo's
+    # yolov3-tiny entry (trace protocol). Report both so neither lies.
     out = {
         "yolo_stream_fps": round(st["throughput_fps"], 1),
         "yolo_stream_p50_ms": round(st.get("p50_latency_ms", 0.0), 3),
         "yolo_stream_p99_ms": round(st.get("p99_latency_ms", 0.0), 3),
         "yolo_stream_frames": st["frames_done"],
         "yolo_stream_avg_fill": round(st["avg_fill"], 2),
+        "yolo_stream_note": (
+            "per-dispatch host<->device RTT dominates on the remote "
+            "tunnel; device step rate = zoo.yolov3-tiny.fps"
+        ),
     }
     log(f"yolo stream: {out}")
     return out
