@@ -32,7 +32,7 @@ def noisy_pairs(rng: np.random.Generator, n: int, s: int):
     return np.clip(noisy, 0, 1), clean
 
 
-def train(steps: int = 500, features: int = 16, depth: int = 4,
+def train(steps: int = 500, model: str = "spatialdenoise",
           batch: int = 16, size: int = 64, seed: int = 0, log=print):
     import jax
     import jax.numpy as jnp
@@ -42,8 +42,12 @@ def train(steps: int = 500, features: int = 16, depth: int = 4,
     from shadernn_tpu.engine.compile import compile_graph
     from shadernn_tpu.models import build_model
 
-    graph = build_model("spatialdenoise", h=size, w=size,
-                        features=features, depth=depth)
+    if model == "unet":
+        # width-8 depth-3 variant so real weights fit the repo; the full
+        # topology (enc/pool/deconv/skip-concat) is exercised unchanged
+        graph = build_model("unet", h=size, w=size, base_filters=8, depth=3)
+    else:
+        graph = build_model(model, h=size, w=size, features=16, depth=4)
     m = compile_graph(
         graph,
         snn.EngineOptions(precision=snn.Precision.FP32,
@@ -88,7 +92,8 @@ def evaluate(graph, m, params, n=16, size=128, seed=777):
     return psnr(pred, y), psnr(x, y)
 
 
-def export(graph, params, out_dir: str, log=print):
+def export(graph, params, out_dir: str, model: str = "spatialdenoise",
+           log=print):
     from shadernn_tpu.graph.serialize import save_model
 
     for name, d in params.items():
@@ -96,7 +101,7 @@ def export(graph, params, out_dir: str, log=print):
         for k, v in d.items():
             node.params[k] = np.asarray(v)
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "spatialdenoise_trained.json")
+    path = os.path.join(out_dir, f"{model}_trained.json")
     save_model(graph, path, decouple=True)
     log(f"saved {path} (+ _layers.json/_weights.bin)")
     return path
@@ -105,16 +110,18 @@ def export(graph, params, out_dir: str, log=print):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--model", default="spatialdenoise",
+                    choices=["spatialdenoise", "unet"])
     ap.add_argument("--out", default=ARTIFACT_DIR)
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
     import jax
 
     jax.config.update("jax_platforms", args.platform)
-    graph, m, params = train(args.steps)
+    graph, m, params = train(args.steps, model=args.model)
     p_model, p_noisy = evaluate(graph, m, params)
     print(f"held-out PSNR: denoised {p_model:.2f} dB vs noisy {p_noisy:.2f} dB")
-    export(graph, params, args.out)
+    export(graph, params, args.out, model=args.model)
 
 
 if __name__ == "__main__":
