@@ -125,24 +125,27 @@ def trained_denoiser_section(log=print) -> list:
     from shadernn_tpu.tools.train_denoiser import ARTIFACT_DIR, noisy_pairs
     from shadernn_tpu.tools.train_espcn import psnr
 
-    art = os.path.join(ARTIFACT_DIR, "spatialdenoise_trained_layers.json")
-    if not os.path.exists(art):
-        return ["(trained artifact not built — run "
-                "`python -m shadernn_tpu.tools.train_denoiser`)"]
     x, y = noisy_pairs(np.random.default_rng(20260820), 8, 96)
     lines = [
         "| output | PSNR vs clean (dB) |", "|---|---|",
         f"| noisy input (identity baseline) | {psnr(x, y):.2f} |",
     ]
-    for prec, label in ((snn.Precision.FP32, "fp32"), (snn.Precision.BF16, "bf16"),
-                        (snn.Precision.INT8, "int8 (weight-only)")):
-        eng = snn.Engine.from_json(
-            art, snn.EngineOptions(precision=prec, batch_size=8),
-            input_hw=(96, 96))
-        pred = np.asarray(eng.model.run_single(x), np.float32)
-        p = psnr(pred, y)
-        log(f"trained denoiser {label}: {p:.2f} dB")
-        lines.append(f"| trained SpatialDenoise, {label} | {p:.2f} |")
+    for model, label_model in (("spatialdenoise", "SpatialDenoise"),
+                               ("unet", "U-Net")):
+        art = os.path.join(ARTIFACT_DIR, f"{model}_trained_layers.json")
+        if not os.path.exists(art):
+            lines.append(f"| {label_model} | (artifact not built) |")
+            continue
+        for prec, label in ((snn.Precision.FP32, "fp32"),
+                            (snn.Precision.BF16, "bf16"),
+                            (snn.Precision.INT8, "int8 (weight-only)")):
+            eng = snn.Engine.from_json(
+                art, snn.EngineOptions(precision=prec, batch_size=8),
+                input_hw=(96, 96))
+            pred = np.asarray(eng.model.run_single(x), np.float32)
+            p = psnr(pred, y)
+            log(f"trained {model} {label}: {p:.2f} dB")
+            lines.append(f"| trained {label_model}, {label} | {p:.2f} |")
     return lines
 
 

@@ -1,10 +1,12 @@
-"""Real-weight accuracy gates for the trained SpatialDenoise artifact
-(models/artifacts/spatialdenoise_trained*, tools/train_denoiser.py).
+"""Real-weight accuracy gates for the trained denoiser artifacts:
+SpatialDenoise and U-Net (models/artifacts/{spatialdenoise,unet}_trained*,
+tools/train_denoiser.py).
 
-Reference analog: the zoo's trained SpatialDenoise model + the engine's
-end-to-end image-quality validation (demo/test_espcn.sh pattern). A
-trained denoiser must beat the identity baseline by several dB — random
-weights cannot; precision deltas follow BASELINE.md discipline.
+Reference analog: the zoo's trained SpatialDenoise / U-Net models + the
+engine's end-to-end image-quality validation (demo/test_espcn.sh
+pattern). A trained denoiser must beat the identity baseline by several
+dB — random weights cannot; precision deltas follow BASELINE.md
+discipline.
 """
 
 import os
@@ -19,27 +21,33 @@ from shadernn_tpu.tools.train_espcn import psnr
 ART = os.path.join(
     os.path.dirname(__file__), "..", "shadernn_tpu", "models", "artifacts"
 )
-JSON = os.path.join(ART, "spatialdenoise_trained_layers.json")
+ARTIFACTS = {
+    "spatialdenoise": os.path.join(ART, "spatialdenoise_trained_layers.json"),
+    "unet": os.path.join(ART, "unet_trained_layers.json"),
+}
+# eval size must respect unet's pooling depth (divisible by 2^3)
+SIZE = 96
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(JSON), reason="trained artifact not built"
-)
+params = [
+    pytest.param(name, path, marks=pytest.mark.skipif(
+        not os.path.exists(path), reason=f"{name} artifact not built"))
+    for name, path in ARTIFACTS.items()
+]
 
 
-def _eval_set(n=8, size=96, seed=20260820):
+def _eval_set(n=8, size=SIZE, seed=20260820):
     return noisy_pairs(np.random.default_rng(seed), n, size)
 
 
-def _psnr_at(precision, x, y, hw):
+def _psnr_at(path, precision, x, y):
     eng = snn.Engine.from_json(
-        JSON,
+        path,
         snn.EngineOptions(precision=precision, batch_size=len(x)),
-        input_hw=hw,
+        input_hw=(SIZE, SIZE),
     )
     if precision == snn.Precision.INT8:
-        from shadernn_tpu.quant.quantize import quantize_graph_weights
-
         from shadernn_tpu.engine.engine import Engine
+        from shadernn_tpu.quant.quantize import quantize_graph_weights
 
         g = eng.model.graph
         quantize_graph_weights(g)
@@ -50,18 +58,20 @@ def _psnr_at(precision, x, y, hw):
     return psnr(pred, y)
 
 
-def test_trained_denoiser_beats_identity():
+@pytest.mark.parametrize("name,path", params)
+def test_trained_denoiser_beats_identity(name, path):
     x, y = _eval_set()
-    p_model = _psnr_at(snn.Precision.FP32, x, y, (96, 96))
+    p_model = _psnr_at(path, snn.Precision.FP32, x, y)
     p_noisy = psnr(x, y)
-    assert p_model > p_noisy + 3.0, (p_model, p_noisy)
-    assert p_model > 26.0, p_model
+    assert p_model > p_noisy + 3.0, (name, p_model, p_noisy)
+    assert p_model > 26.0, (name, p_model)
 
 
-def test_trained_denoiser_precision_deltas():
+@pytest.mark.parametrize("name,path", params)
+def test_trained_denoiser_precision_deltas(name, path):
     x, y = _eval_set()
-    p32 = _psnr_at(snn.Precision.FP32, x, y, (96, 96))
-    p16 = _psnr_at(snn.Precision.BF16, x, y, (96, 96))
-    p8 = _psnr_at(snn.Precision.INT8, x, y, (96, 96))
-    assert p16 > p32 - 1.0, (p32, p16)
-    assert p8 > p32 - 1.5, (p32, p8)
+    p32 = _psnr_at(path, snn.Precision.FP32, x, y)
+    p16 = _psnr_at(path, snn.Precision.BF16, x, y)
+    p8 = _psnr_at(path, snn.Precision.INT8, x, y)
+    assert p16 > p32 - 1.0, (name, p32, p16)
+    assert p8 > p32 - 1.5, (name, p32, p8)
