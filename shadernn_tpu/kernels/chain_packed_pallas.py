@@ -416,11 +416,13 @@ def fused_conv_chain_packed(
     )(*operands)
 
     if tail == "d2s2":
-        half = jax.lax.bitcast_convert_type(out, jnp.bfloat16)
-        # (N, 2Hp, 8, Gp, 2) -> out col 2*(8(g-1)+px)+e = 16g+2px+e-16
-        half = jnp.transpose(half, (0, 1, 3, 2, 4)).reshape(
-            n, 2 * hp_out, 2 * P * gp
-        )
+        # Transpose the u32 array FIRST (4D, 32-bit elements), then
+        # bitcast to bf16 pairs: out col 2*(8(g-1)+px)+e = 16g+2px+e-16.
+        # Transposing the bitcast 5D bf16 view instead makes XLA shuffle
+        # packed sublane pairs (slower relayout kernel).
+        tr = jnp.transpose(out, (0, 1, 3, 2))  # (N, 2Hp, Gp, 8)
+        half = jax.lax.bitcast_convert_type(tr, jnp.bfloat16)
+        half = half.reshape(n, 2 * hp_out, 2 * P * gp)
         return half[
             :, 2 * MH : 2 * (MH + h_out), 2 * P * GL : 2 * P * GL + 2 * w_out
         ][..., None]
