@@ -276,15 +276,17 @@ def _prod_shape_validation(log) -> dict:
     return out
 
 
-def _a8w8_bench(batch: int, loops: int, log) -> dict:
-    """MobileNetV2 with int8 ACTIVATIONS (A8W8, VERDICT r2 #7): calibrate
-    activation scales, rebuild, and A/B against the weight-only engine —
-    fps + output agreement both reported."""
+def _a8w8_bench(batch: int, loops: int, log, model: str = "mobilenetv2") -> dict:
+    """INT8 ACTIVATIONS (A8W8, VERDICT r2 #7): calibrate activation
+    scales, rebuild, and A/B against the weight-only engine — fps +
+    output agreement both reported. mobilenetv2 engages the fused-block
+    kernel's in-kernel quantizers; resnet18 (C>=32 standard convs) the
+    XLA int8 x int8 conv path (ops/conv.py A8W8 branch)."""
     import shadernn_tpu as snn
     from shadernn_tpu.models import build_model
     from shadernn_tpu.quant.calibrate import calibrate_activations
 
-    g = build_model("mobilenetv2")
+    g = build_model(model)
     opts = snn.EngineOptions(precision=snn.Precision.INT8, batch_size=batch)
     eng_w = snn.Engine.from_graph(g, opts)  # weight-only (quantizes graph)
     rng = np.random.default_rng(0)
@@ -299,10 +301,10 @@ def _a8w8_bench(batch: int, loops: int, log) -> dict:
     out_a = np.asarray(eng_a.model.run_single(x), np.float32)
     agree = float(np.mean(out_w.argmax(-1) == out_a.argmax(-1)))
     out = {
-        "mobilenetv2_a8w8_frames_per_sec": round(tstats["frames_per_sec"], 1),
-        "mobilenetv2_a8w8_top1_agreement": round(agree, 4),
+        f"{model}_a8w8_frames_per_sec": round(tstats["frames_per_sec"], 1),
+        f"{model}_a8w8_top1_agreement": round(agree, 4),
     }
-    log(f"mobilenetv2 a8w8: {out}")
+    log(f"{model} a8w8: {out}")
     return out
 
 
@@ -435,6 +437,12 @@ def main():
             extra.update(_a8w8_bench(args.batch, args.inner_loops, log))
         except Exception as e:
             log(f"a8w8 FAILED {type(e).__name__}: {e}")
+        try:
+            extra.update(
+                _a8w8_bench(args.batch, args.inner_loops, log, model="resnet18")
+            )
+        except Exception as e:
+            log(f"resnet18 a8w8 FAILED {type(e).__name__}: {e}")
         try:
             extra.update(_stream_bench(args.batch, log))
         except Exception as e:

@@ -516,6 +516,12 @@ def compile_graph(
     if any(n.out_spec is None for n in graph.nodes.values()):
         graph.infer_shapes(batch_size=options.batch_size)
 
+    # A8W8: stamp consumers with their input activation scales (no-op
+    # unless calibrate_activations ran and weights are int8).
+    from shadernn_tpu.quant.calibrate import propagate_input_scales
+
+    propagate_input_scales(graph)
+
     params = extract_params(graph)
     forward = build_forward(graph, options)
 

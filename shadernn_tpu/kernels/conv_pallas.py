@@ -110,11 +110,31 @@ def _conv_kernel(
         # order: one (k*C, W) slab store per dx — k stores per row instead
         # of k*k. All offsets are static (unrolled python ints). The weight
         # matrix rows follow the same (dx, dy, c) order.
+        # Packed dtypes (bf16/int8, itemsize < 4): the (k, C, W) ->
+        # (k*C, W) sublane-merging reshape of a row-offset slab load
+        # MISCOMPILES on real TPUs (Mosaic emits collided sublane packs —
+        # dy rows land on top of each other; found via impulse probe at
+        # W<128, see tests/test_kernels_tpu_shapes.py). Store per-(dx, dy)
+        # 2D pieces instead: each (C, W) store starts at a sublane-tile-
+        # aligned row (C is padded to the dtype tile), no reshape needed.
+        packed = xs.dtype.itemsize < 4
         if stride == 1:
-            slab = xs[slot, r : r + k]  # (k, C, Wp_in)
-            for dx in range(k):
-                piece = slab[:, :, dx : dx + w_out].reshape(k * c, w_out)
-                patch_ref[dx * k * c : (dx + 1) * k * c, :] = piece
+            if packed:
+                # load each input row separately as a 2D (C, Wp) value:
+                # both the k-row 3D load at a row offset and its
+                # (k, C, W) -> (k*C, W) reshape miscompile for packed
+                # dtypes (sublane packs collide across dy)
+                for dy in range(k):
+                    row = xs[slot, r + dy]  # (C, Wp_in)
+                    for dx in range(k):
+                        patch_ref[
+                            dx * k * c + dy * c : dx * k * c + (dy + 1) * c, :
+                        ] = row[:, dx : dx + w_out]
+            else:
+                slab = xs[slot, r : r + k]  # (k, C, Wp_in)
+                for dx in range(k):
+                    piece = slab[:, :, dx : dx + w_out].reshape(k * c, w_out)
+                    patch_ref[dx * k * c : (dx + 1) * k * c, :] = piece
         else:
             # strided lane gather: view W as (W/stride, stride) and take
             # the dx%stride phase starting at dx//stride.

@@ -45,6 +45,16 @@ def get_weight(node: Node, name: str = "weight", compute_dtype=jnp.float32):
     return node.params[name].astype(compute_dtype)
 
 
+def quantize_act(x, scale: float):
+    """Symmetric int8 activation quantization for the A8W8 path (matches
+    quant.calibrate.quantize_activation; clip to +/-127 keeps the range
+    symmetric so -x quantizes to -q)."""
+    return (
+        jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / scale)), -127, 127)
+        .astype(jnp.int8)
+    )
+
+
 def bn_scale_offset(node: Node, out_dtype):
     """Per-channel (scale, offset) for an unfolded BatchNorm epilogue.
 
@@ -124,12 +134,18 @@ def _conv_run_pallas(node: Node, x, ctx: RunCtx):
     )
 
 
-def pallas_conv_supported(node: Node, x_shape) -> bool:
+def pallas_conv_supported(node: Node, x_shape, dtype=None) -> bool:
     k = int(node.attr("kernel_size"))
     st = int(node.attr("stride", 1))
     c = x_shape[-1]
     o = int(node.attr("out_channels"))
-    return st in (1, 2) and c <= 128 and o <= 128 and k * k * c <= 4096
+    # stride 2 is gated off: the kernel's strided phase-split reshape is
+    # an unsupported Mosaic shape cast on current TPU toolchains (any
+    # dtype) — it fails at compile time on real hardware while passing in
+    # interpret mode. Stride-2 convs run on XLA, or go through the
+    # stride2 -> SpaceToDepth folding pass and re-enter here as stride 1.
+    del dtype
+    return st == 1 and c <= 128 and o <= 128 and k * k * c <= 4096
 
 
 def pallas_chain_supported(node: Node, in_channels: int) -> bool:
@@ -218,10 +234,29 @@ class Conv2D(OpDef):
             x = jnp.concatenate(xs, axis=-1)
         from shadernn_tpu.config import BackendKind
 
-        if ctx.backend == BackendKind.PALLAS and pallas_conv_supported(node, x.shape):
+        if ctx.backend == BackendKind.PALLAS and pallas_conv_supported(node, x.shape, x.dtype):
             return _conv_run_pallas(node, x, ctx)
         st = int(node.attr("stride", 1))
         t, b, l, r = _conv_pads(node)
+        sa = float(node.attr("in_act_scale", 0.0) or 0.0)
+        if "weight_q" in node.params and sa > 0.0:
+            # A8W8: calibrated activation scale (quant/calibrate.py) ->
+            # quantize the input, run int8 x int8 -> int32 on the MXU's
+            # 394-TFLOPs int8 path, fold (act_scale * weight_scale) into
+            # the dequant. Symmetric, zero-point 0, so SAME padding's
+            # zeros are exact.
+            xq = quantize_act(x, sa)
+            acc = jax.lax.conv_general_dilated(
+                xq,
+                jnp.asarray(node.params["weight_q"]),
+                window_strides=(st, st),
+                padding=((t, b), (l, r)),
+                dimension_numbers=_DN,
+                preferred_element_type=jnp.int32,
+            )
+            ws = jnp.asarray(node.params["weight_scale"], jnp.float32)
+            y = (acc.astype(jnp.float32) * (sa * ws.reshape(-1))).astype(x.dtype)
+            return _epilogue(node, y, ctx)
         w = get_weight(node, compute_dtype=x.dtype)
         y = jax.lax.conv_general_dilated(
             x,

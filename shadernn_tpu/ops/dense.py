@@ -48,9 +48,24 @@ class Dense(OpDef):
                 alpha=float(node.attr("leaky_alpha", 0.3)),
                 interpret=_interpret_mode(),
             )
-        w = get_weight(node, compute_dtype=x.dtype)  # (in, units)
-        y = jnp.dot(x, jnp.asarray(w, x.dtype), preferred_element_type=jnp.float32)
-        y = y.astype(x.dtype)
+        sa = float(node.attr("in_act_scale", 0.0) or 0.0)
+        if "weight_q" in node.params and sa > 0.0:
+            # A8W8 (see ops/conv.py): int8 x int8 -> int32 matmul with the
+            # combined act/weight scale folded into the dequant.
+            from shadernn_tpu.ops.conv import quantize_act
+
+            xq = quantize_act(x, sa)
+            acc = jnp.dot(
+                xq,
+                jnp.asarray(node.params["weight_q"]),
+                preferred_element_type=jnp.int32,
+            )
+            ws = jnp.asarray(node.params["weight_scale"], jnp.float32)
+            y = (acc.astype(jnp.float32) * (sa * ws.reshape(-1))).astype(x.dtype)
+        else:
+            w = get_weight(node, compute_dtype=x.dtype)  # (in, units)
+            y = jnp.dot(x, jnp.asarray(w, x.dtype), preferred_element_type=jnp.float32)
+            y = y.astype(x.dtype)
         if "bias" in node.params and node.attr("use_bias", True):
             y = y + jnp.asarray(node.params["bias"], y.dtype)
         return apply_activation(

@@ -313,7 +313,7 @@ def _conv_local(node, x, ctx: RunCtx, stride: int, pads, use_pallas: bool,
     w = jnp.asarray(node.params.get("weight_q", node.params.get("weight")))
     act = node.attr("activation", "linear")
     alpha = float(node.attr("leaky_alpha", 0.3))
-    if use_pallas and pallas_conv_supported(node, x.shape):
+    if use_pallas and pallas_conv_supported(node, x.shape, x.dtype):
         from shadernn_tpu.kernels.conv_pallas import conv2d_pallas_nhwc
 
         wk = w if w.dtype == jnp.int8 else w.astype(x.dtype)

@@ -88,3 +88,38 @@ def quantization_snr_db(x: np.ndarray, scale: float) -> float:
     if err == 0:
         return float("inf")
     return float(10 * np.log10(sig / err))
+
+
+# Ops whose XLA path can consume an int8-quantized input operand when the
+# weights are already int8 (A8W8: int8 x int8 -> int32 on the MXU's
+# 2x-rate int8 path). Depthwise (SeparableConv2D) deliberately stays
+# bf16 — it is VPU-bound, not MXU-bound (DEVNOTES block-kernel notes).
+A8W8_OPS = ("Conv2D", "Dense")
+
+
+def propagate_input_scales(graph: Graph) -> int:
+    """Stamp each quantized node with its input activation scale.
+
+    calibrate_activations() records `act_scale` on each PRODUCING node
+    (the scale of that node's output). A consuming conv/dense needs the
+    scale of its INPUT to quantize the activation operand; this prepass
+    copies producer act_scale -> consumer attrs['in_act_scale'] for every
+    single-input node with int8 weights. compile_graph calls it before
+    tracing, so the ops can engage the A8W8 path without graph access.
+    Multi-input nodes (channel-concat convs) are skipped: their inputs
+    carry different scales. Returns the number of nodes stamped.
+    """
+    count = 0
+    for n in graph.nodes.values():
+        if n.op not in A8W8_OPS or "weight_q" not in n.params:
+            continue
+        if len(n.inputs) != 1:
+            continue
+        producer = graph.nodes.get(n.inputs[0])
+        if producer is None:
+            continue
+        sa = producer.attrs.get("act_scale")
+        if sa:
+            n.attrs["in_act_scale"] = float(sa)
+            count += 1
+    return count

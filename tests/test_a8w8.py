@@ -10,6 +10,7 @@ engages (spec.ax1/ax2 set), with accuracy inside the reference's
 low-precision tolerance discipline (testutil.h:1195).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -101,3 +102,69 @@ def test_a8w8_spec_scales_set(rng):
     assert built is not None
     _, spec = built
     assert spec.ax1 > 0 and spec.ax2 > 0, (spec.ax1, spec.ax2)
+
+
+# ---------------------------------------------------------------------------
+# A8W8 on the XLA path (standard convs / dense, C>=32 — the ResNet18 regime)
+# ---------------------------------------------------------------------------
+
+def _cls_graph():
+    """A small ResNet-shaped classifier slice: conv stack -> pool -> dense.
+    C>=32 throughout, so the A8W8 int8 MXU path applies to every matmul."""
+    b = GraphBuilder("cls_a8w8")
+    x = b.input(16, 16, 32, name="input")
+    c1 = b.conv2d(x, 64, 3, activation="relu", name="c1")
+    c2 = b.conv2d(c1, 64, 3, activation="relu", name="c2")
+    p = b.avgpool(c2, 2, name="pool")
+    f = b.flatten(p, name="flat")
+    b.dense(f, 10, name="fc")
+    return b.build()
+
+
+def _xla_engine(g, batch, precision=Precision.FP32):
+    return Engine.from_graph(
+        g, EngineOptions(precision=precision, batch_size=batch,
+                         backend=BackendKind.XLA),
+    )
+
+
+def test_a8w8_xla_conv_dense_engages_and_matches(rng):
+    """calibrate -> quantize -> rebuild: the XLA path must lower int8 x int8
+    convolutions (s8 operands in the StableHLO) and stay within the
+    reference's low-precision tolerance (testutil.h:1195 discipline)."""
+    x = (rng.random((4, 16, 16, 32), dtype=np.float32) - 0.5)
+    want = np.asarray(_xla_engine(_cls_graph(), 4).run_single(x))
+
+    g = _cls_graph()
+    quantize_graph_weights(g)
+    eng = _xla_engine(g, 4, Precision.INT8)
+    calibrate_activations(eng, [{"input": x}], percentile=None)
+    eng2 = _xla_engine(g, 4, Precision.INT8)
+
+    # every quantized consumer got stamped with its input scale
+    for name in ("c1", "c2", "fc"):
+        assert float(g.nodes[name].attrs.get("in_act_scale", 0.0)) > 0.0, name
+
+    # the lowered program really carries int8 operands into the dot/conv
+    hlo = eng2.model.step.lower(
+        eng2.model.params, {"input": jnp.zeros((4, 16, 16, 32), jnp.float32)}
+    ).as_text()
+    assert "xi8>" in hlo, "A8W8 did not lower int8 operands"
+
+    got = np.asarray(eng2.run_single(x), np.float32)
+    scale = np.max(np.abs(want)) + 1e-6
+    err = np.max(np.abs(got - want)) / scale
+    assert err < 0.1, err
+
+
+def test_a8w8_propagate_skips_multi_input_and_unquantized():
+    from shadernn_tpu.quant.calibrate import propagate_input_scales
+
+    g = _cls_graph()
+    # no act_scale, no weight_q -> nothing stamped
+    assert propagate_input_scales(g) == 0
+    quantize_graph_weights(g)
+    assert propagate_input_scales(g) == 0  # still no act_scale recorded
+    g.nodes["input"].attrs["act_scale"] = 0.01
+    assert propagate_input_scales(g) == 1  # only c1 (its producer is input)
+    assert "in_act_scale" not in g.nodes["c2"].attrs

