@@ -311,9 +311,17 @@ def build_forward(
                 head = expand if expand is not None else dw
                 in_node = graph.nodes[head.inputs[0]]
                 in_spec = in_node.out_spec
+                # A8W8 scales engage only under an INT8 engine (advisor
+                # r3): a calibrated graph rebuilt at FP32/BF16 must run
+                # float activations.
+                from shadernn_tpu.config import Precision as _P
+
+                _a8 = (float(in_node.attrs.get("act_scale", 0.0) or 0.0)
+                       if options.precision == _P.INT8 else 0.0)
                 built = build_invres(
                     views, in_spec, act_dtype, batch=in_spec.n,
-                    in_act_scale=float(in_node.attrs.get("act_scale", 0.0) or 0.0),
+                    in_act_scale=_a8,
+                    a8w8=(options.precision == _P.INT8),
                 )
                 out_node = add if add is not None else project
                 res = None

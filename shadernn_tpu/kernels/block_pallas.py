@@ -302,13 +302,16 @@ def fused_invres_block(
 
 
 def build_invres(views, in_spec, act_dtype, batch: int,
-                 vmem_budget: int = 48 << 20, in_act_scale: float = 0.0):
+                 vmem_budget: int = 48 << 20, in_act_scale: float = 0.0,
+                 a8w8: bool = True):
     """Build (operands, InvResSpec) for a matched [expand?, dw, project,
     add?] node run, or None if the geometry doesn't fit.
 
     `views` supply .params/.attr like compile.py's _NodeView so weights may
     be tracers (params pytree) under jit. in_act_scale: the calibrated
     act_scale of the block's input node (0 = no A8W8 on the expand matmul).
+    a8w8=False (engine precision != INT8) keeps calibrated act_scale attrs
+    inert so an FP32/BF16 rebuild never runs int8 activation compute.
     """
     from shadernn_tpu.ops.conv import epilogue_scale_offset
 
@@ -345,7 +348,7 @@ def build_invres(views, in_spec, act_dtype, batch: int,
     cout = int(w2_raw.shape[-1])
     w2 = w2_raw.reshape(e_ch, cout)
     s2, o2 = epilogue_scale_offset(project)
-    dw_scale = float(dw.attr("act_scale", 0.0) or 0.0)
+    dw_scale = float(dw.attr("act_scale", 0.0) or 0.0) if a8w8 else 0.0
     if w2.dtype == jnp.int8 and dw_scale > 0:
         ax2 = dw_scale
         s2 = jnp.asarray(s2) * ax2

@@ -20,8 +20,12 @@ Per grid step (one batch element, Th output rows):
      multiply-add, the TPU equivalent of the reference's generated shader
      epilogue (conv2dGL.cpp:666-833).
 
-Supports stride 1 and 2, odd/even kernels with the reference's asymmetric
-"same" padding (conv2d.cpp:69-105), fp32/bf16/int8-weight compute.
+Supports stride 1 (odd/even kernels with the reference's asymmetric
+"same" padding, conv2d.cpp:69-105), fp32/bf16/int8-weight compute. The
+stride-2 phase-split path below compiles only in interpret mode — Mosaic
+rejects its strided reshape on real TPUs — so pallas_conv_supported gates
+stride 2 off on-device; stride-2 convs run on XLA or are folded to
+stride 1 via the SpaceToDepth pass (graph/fusion.py).
 The reference's MRT multi-pass channel chunking (conv2dGL.cpp:841-860) is
 unnecessary here — O up to 128 fits one pass; larger O falls back to XLA.
 """
@@ -114,7 +118,7 @@ def _conv_kernel(
         # (k*C, W) sublane-merging reshape of a row-offset slab load
         # MISCOMPILES on real TPUs (Mosaic emits collided sublane packs —
         # dy rows land on top of each other; found via impulse probe at
-        # W<128, see tests/test_kernels_tpu_shapes.py). Store per-(dx, dy)
+        # W<128 on the real chip). Store per-(dx, dy)
         # 2D pieces instead: each (C, W) store starts at a sublane-tile-
         # aligned row (C is padded to the dtype tile), no reshape needed.
         packed = xs.dtype.itemsize < 4

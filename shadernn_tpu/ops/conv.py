@@ -238,8 +238,14 @@ class Conv2D(OpDef):
             return _conv_run_pallas(node, x, ctx)
         st = int(node.attr("stride", 1))
         t, b, l, r = _conv_pads(node)
+        from shadernn_tpu.config import Precision
+
         sa = float(node.attr("in_act_scale", 0.0) or 0.0)
-        if "weight_q" in node.params and sa > 0.0:
+        # A8W8 only under an INT8 engine: a graph calibrated+quantized for
+        # INT8 must still run full-precision when rebuilt at FP32/BF16
+        # (weights dequantize via get_weight; activations stay float).
+        if ("weight_q" in node.params and sa > 0.0
+                and ctx.precision == Precision.INT8):
             # A8W8: calibrated activation scale (quant/calibrate.py) ->
             # quantize the input, run int8 x int8 -> int32 on the MXU's
             # 394-TFLOPs int8 path, fold (act_scale * weight_scale) into

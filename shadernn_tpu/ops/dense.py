@@ -48,8 +48,13 @@ class Dense(OpDef):
                 alpha=float(node.attr("leaky_alpha", 0.3)),
                 interpret=_interpret_mode(),
             )
+        from shadernn_tpu.config import Precision
+
         sa = float(node.attr("in_act_scale", 0.0) or 0.0)
-        if "weight_q" in node.params and sa > 0.0:
+        # Same INT8-engine gate as ops/conv.py: calibrated scales must not
+        # force int8 activation compute under an FP32/BF16 rebuild.
+        if ("weight_q" in node.params and sa > 0.0
+                and ctx.precision == Precision.INT8):
             # A8W8 (see ops/conv.py): int8 x int8 -> int32 matmul with the
             # combined act/weight scale folded into the dequant.
             from shadernn_tpu.ops.conv import quantize_act

@@ -201,16 +201,21 @@ class PipelinedEngine:
             return x
         return jax.device_put(x, target)
 
-    def run(self, inputs: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
-        """Split the batch into micro-batches, stream them through the
-        stages (async dispatch overlaps stages across micro-batches), and
-        re-assemble the global batch."""
+    def dispatch(self, inputs: Dict[str, np.ndarray],
+                 _fns=None) -> List[Dict[str, jax.Array]]:
+        """Issue all micro-batches through all stages WITHOUT blocking:
+        returns the in-flight per-micro-batch output futures. The host
+        runs ahead of the devices (jax async dispatch), which is what
+        lets stage s of micro-batch i execute while stage s+1 chews on
+        micro-batch i-1.
+
+        _fns: optional per-stage (params, env, mb_idx) -> env override
+        used by throughput_stats' schedule instrumentation."""
         batch = next(iter(inputs.values())).shape[0]
         mb = self.micro_batch
         assert batch % mb == 0, (batch, mb)
         act_dtype = self.options.precision.activation_dtype
 
-        # dispatch all micro-batches through all stages without blocking
         inflight = []
         for m in range(batch // mb):
             env = {
@@ -227,10 +232,19 @@ class PipelinedEngine:
                 # resharded onto the stage's sub-mesh when it has one);
                 # already-placed tensors pass through untouched.
                 staged = {k: self._place(env[k], stage) for k in stage.consumes}
-                outs = stage.fn(stage.params, staged)
+                if _fns is not None:
+                    outs = _fns[stage.index](stage.params, staged, m)
+                else:
+                    outs = stage.fn(stage.params, staged)
                 env.update(outs)
             inflight.append({o: env[o] for o in self.graph.output_names})
+        return inflight
 
+    def run(self, inputs: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        """Split the batch into micro-batches, stream them through the
+        stages (async dispatch overlaps stages across micro-batches), and
+        re-assemble the global batch."""
+        inflight = self.dispatch(inputs)
         jax.block_until_ready(inflight)
         return {
             o: jnp.concatenate([e[o].astype(jnp.float32) for e in inflight])
@@ -280,11 +294,17 @@ class PipelinedEngine:
                 env.update(outs)
         serial_mb_s = (time.perf_counter() - t0) / iters
 
+        dispatch_s = 0.0
         t0 = time.perf_counter()
         for _ in range(iters):
-            self.run(inputs)
+            d0 = time.perf_counter()
+            inflight = self.dispatch(inputs)
+            dispatch_s += time.perf_counter() - d0
+            jax.block_until_ready(inflight)
         wall_s = (time.perf_counter() - t0) / iters
+        dispatch_s /= iters
 
+        inversions = self._schedule_inversions(inputs)
         serial_total_s = serial_mb_s * m
         stats = {
             "stages": s,
@@ -296,6 +316,72 @@ class PipelinedEngine:
             "overlap_efficiency": round(
                 serial_total_s / max(wall_s, 1e-9) / s, 3
             ),
+            "dispatch_s": round(dispatch_s, 5),
+            "dispatch_fraction": round(dispatch_s / max(wall_s, 1e-9), 3),
+            # Deterministic schedule check (see _schedule_inversions): a
+            # fully serialized pipeline executes (micro-batch, stage)
+            # events strictly micro-batch-major and scores 0; genuine
+            # cross-stage overlap produces out-of-order executions. Unlike
+            # wall-clock speedup this does not depend on virtual CPU
+            # devices sharing host cores.
+            "schedule_inversions": inversions,
         }
         logger.info("pipeline throughput: %s", stats)
         return stats
+
+    def _schedule_inversions(self, inputs: Dict[str, np.ndarray]) -> int:
+        """Count out-of-micro-batch-order stage executions.
+
+        Each stage is wrapped with an io_callback that records
+        (micro-batch, stage, host time) WHEN THE STAGE EXECUTES on its
+        device (the callback is data-dependent on the stage's first
+        output). Sorting events by time, an "inversion" is an execution
+        of micro-batch i after any execution of micro-batch j > i — i.e.
+        stage s was still chewing on an earlier micro-batch while a later
+        micro-batch had already advanced through an earlier stage. A
+        blocking serial schedule (the serial baseline's shape) yields
+        exactly 0; a pipelined schedule yields many (stage 0 rips through
+        its queue while downstream stages lag)."""
+        import threading
+        import time
+
+        from jax.experimental import io_callback
+
+        events: List = []
+        lock = threading.Lock()
+
+        def record(mb_idx, stage_idx, _dep):
+            with lock:
+                events.append(
+                    (int(mb_idx), int(stage_idx), time.perf_counter())
+                )
+            return np.int32(0)
+
+        def make_inst(stage):
+            inner = stage.fn
+
+            @jax.jit
+            def run(params, env, mb_idx):
+                outs = inner(params, env)
+                dep = list(outs.values())[0]
+                io_callback(
+                    record, jax.ShapeDtypeStruct((), np.int32),
+                    mb_idx, stage.index, dep.reshape(-1)[0],
+                    ordered=False,
+                )
+                return outs
+
+            return run
+
+        fns = {s.index: make_inst(s) for s in self.stages}
+        inflight = self.dispatch(inputs, _fns=fns)
+        jax.block_until_ready(inflight)
+        with lock:
+            evs = sorted(events, key=lambda e: e[2])
+        inversions = 0
+        max_mb_seen = -1
+        for mb_idx, _stage, _t in evs:
+            if mb_idx < max_mb_seen:
+                inversions += 1
+            max_mb_seen = max(max_mb_seen, mb_idx)
+        return inversions

@@ -145,16 +145,51 @@ def test_a8w8_xla_conv_dense_engages_and_matches(rng):
     for name in ("c1", "c2", "fc"):
         assert float(g.nodes[name].attrs.get("in_act_scale", 0.0)) > 0.0, name
 
-    # the lowered program really carries int8 operands into the dot/conv
+    # The lowered program really runs int8 x int8 -> int32 convolutions.
+    # NOTE: checking for "xi8>" alone is vacuous — int8 weight_q params
+    # appear in the weight-only lowering too; the A8W8 signature is a
+    # convolution/dot whose OPERANDS are i8 and whose RESULT accumulates
+    # in i32, which weight-only (f32-accumulating) never produces.
     hlo = eng2.model.step.lower(
         eng2.model.params, {"input": jnp.zeros((4, 16, 16, 32), jnp.float32)}
     ).as_text()
-    assert "xi8>" in hlo, "A8W8 did not lower int8 operands"
+    int8_accum_lines = [
+        ln for ln in hlo.splitlines()
+        if ("convolution" in ln or "dot" in ln)
+        and "xi8>" in ln and "xi32>" in ln
+    ]
+    assert int8_accum_lines, "A8W8 did not lower int8 x int8 -> int32 conv/dot"
 
     got = np.asarray(eng2.run_single(x), np.float32)
     scale = np.max(np.abs(want)) + 1e-6
     err = np.max(np.abs(got - want)) / scale
     assert err < 0.1, err
+
+
+def test_a8w8_gated_on_int8_precision(rng):
+    """A calibrated+quantized graph rebuilt at FP32 must NOT silently run
+    int8 activation compute (advisor r3): the A8W8 branch is gated on
+    ctx.precision == INT8, so the FP32 rebuild lowers no int8-accumulating
+    conv and matches the plain dequantized-weight output bit-for-bit."""
+    x = (rng.random((2, 16, 16, 32), dtype=np.float32) - 0.5)
+    g = _cls_graph()
+    quantize_graph_weights(g)
+    eng_i8 = _xla_engine(g, 2, Precision.INT8)
+    calibrate_activations(eng_i8, [{"input": x}], percentile=None)
+    # an INT8 rebuild propagates the scales and runs int8 compute ...
+    _xla_engine(g, 2, Precision.INT8)
+    assert float(g.nodes["c1"].attrs.get("in_act_scale", 0.0)) > 0.0
+
+    # ... but an FP32 rebuild keeps the stamped scales inert
+    eng_fp = _xla_engine(g, 2, Precision.FP32)
+    hlo = eng_fp.model.step.lower(
+        eng_fp.model.params, {"input": jnp.zeros((2, 16, 16, 32), jnp.float32)}
+    ).as_text()
+    assert not [
+        ln for ln in hlo.splitlines()
+        if ("convolution" in ln or "dot" in ln)
+        and "xi8>" in ln and "xi32>" in ln
+    ], "FP32 rebuild ran int8 activation compute"
 
 
 def test_a8w8_propagate_skips_multi_input_and_unquantized():
