@@ -310,12 +310,24 @@ def _a8w8_bench(batch: int, loops: int, log, model: str = "mobilenetv2") -> dict
 
 def _stream_bench(batch: int, log, seconds: float = 3.0) -> dict:
     """Continuous-batched YOLOv3-tiny video stream (BASELINE configs[4]):
-    frames through StreamingEngine -> on-device decode+NMS; reports
-    fps + p50/p99 frame latency from the stream's own stats."""
+    full-model frames through StreamingEngine -> on-device decode+NMS.
+
+    Reports BOTH sides of the link (VERDICT r3 #5): wall fps / p50 / p99
+    from the stream's own stats (includes the remote-tunnel RTT, but with
+    dispatch/fetch overlapped batch N+1 executes while batch N's outputs
+    cross the link), and the DEVICE-side step time from a jax profiler
+    trace captured around the live stream — the on-device serving rate.
+    """
+    import tempfile
+    import threading
+    import time as _t  # noqa: F401  (kept for ad-hoc timing edits)
+
+    import jax
+
     import shadernn_tpu as snn
     from shadernn_tpu.engine.streaming import StreamingEngine
     from shadernn_tpu.models import build_model
-    import time as _t
+    from shadernn_tpu.utils.trace_profile import parse_trace_dir
 
     g = build_model("yolov3-tiny")
     eng = snn.Engine.from_graph(
@@ -325,20 +337,54 @@ def _stream_bench(batch: int, log, seconds: float = 3.0) -> dict:
     spec = g.nodes[in_name].out_spec.shape
     rng = np.random.default_rng(0)
     frame = rng.random(tuple(spec[1:]), dtype=np.float32)
-    # warm up the compiled step before the timed stream
-    eng.model({in_name: np.broadcast_to(frame, (batch, *spec[1:])).copy()})
+    # warm up the compiled step before the timed stream — and BLOCK on the
+    # result: async dispatch alone would let the first executable load
+    # land inside the timed window
+    jax.block_until_ready(
+        eng.model({in_name: np.broadcast_to(frame, (batch, *spec[1:])).copy()})
+    )
+    log("stream warmup done")
+    # Pass 1 (untraced): wall-side serving numbers. Fixed frame budget and
+    # a hard deadline: the remote tunnel's bandwidth intermittently
+    # collapses by ~100x for minutes at a time (single-op stalls of
+    # 60-500 s measured even for sequential main-thread dispatch+fetch,
+    # no threading involved), and an unbounded producer would let one bad
+    # phase consume the whole bench. If the deadline trips, we snapshot
+    # the stats so the degraded wall number is still reported honestly.
     stream = StreamingEngine(eng).start()
-    deadline = _t.monotonic() + seconds
-    fid = 0
-    while _t.monotonic() < deadline:
-        stream.submit(0, fid, frame)
-        fid += 1
-    stream.stop(drain=True)
+    n_frames = 10 * batch
+    done = threading.Event()
+
+    def _produce_and_drain():
+        for i in range(n_frames):
+            stream.submit(0, i, frame)
+        stream.stop(drain=True)
+        done.set()
+
+    threading.Thread(target=_produce_and_drain, daemon=True).start()
+    if not done.wait(timeout=max(seconds * 40, 120.0)):
+        log("stream pass 1 hit the tunnel-weather deadline; reporting "
+            "partial stats (threads abandoned, daemon)")
     st = stream.stats()
-    # On the remote-compile tunnel each dispatch pays the host<->device
-    # RTT (~400 ms), so stream fps here measures the TUNNEL, not the
-    # engine; the device-side step rate for the same model is the zoo's
-    # yolov3-tiny entry (trace protocol). Report both so neither lies.
+    log(f"stream pass 1 (wall) done: {st}")
+    # Pass 2 (traced, short): device-side step time of the streamed
+    # batches. Kept separate because profiling over the remote tunnel
+    # adds large per-dispatch overhead that would poison the wall numbers.
+    trace_dir = tempfile.mkdtemp(prefix="snn_stream_trace_")
+    tstream = StreamingEngine(eng).start()
+    jax.profiler.start_trace(trace_dir)
+    tdone = threading.Event()
+
+    def _traced_pass():
+        for i in range(3 * batch):
+            tstream.submit(0, i, frame)
+        tstream.stop(drain=True)
+        tdone.set()
+
+    threading.Thread(target=_traced_pass, daemon=True).start()
+    tdone.wait(timeout=120.0)
+    jax.profiler.stop_trace()
+    tst = tstream.stats()
     out = {
         "yolo_stream_fps": round(st["throughput_fps"], 1),
         "yolo_stream_p50_ms": round(st.get("p50_latency_ms", 0.0), 3),
@@ -346,10 +392,23 @@ def _stream_bench(batch: int, log, seconds: float = 3.0) -> dict:
         "yolo_stream_frames": st["frames_done"],
         "yolo_stream_avg_fill": round(st["avg_fill"], 2),
         "yolo_stream_note": (
-            "per-dispatch host<->device RTT dominates on the remote "
-            "tunnel; device step rate = zoo.yolov3-tiny.fps"
+            "wall numbers include the remote-tunnel host<->device RTT "
+            "(overlapped across batches); device_* rows are the on-device "
+            "step time of the same streamed batches, from the trace"
         ),
     }
+    try:
+        rep = parse_trace_dir(trace_dir, steps=max(tst["batches_run"], 1),
+                              precision="bfloat16")
+        step_ms = rep.e2e_us / 1e3
+        if step_ms > 0:
+            out["yolo_stream_device_step_ms"] = round(step_ms, 4)
+            out["yolo_stream_device_p50_ms_per_frame"] = round(
+                step_ms / batch, 4)
+            out["yolo_stream_device_steps_per_sec"] = round(1e3 / step_ms, 1)
+            out["yolo_stream_device_fps"] = round(batch * 1e3 / step_ms, 1)
+    except Exception as e:
+        log(f"stream trace parse failed: {type(e).__name__}: {e}")
     log(f"yolo stream: {out}")
     return out
 

@@ -8,10 +8,19 @@ continuous batcher:
 
 - producers (camera streams, video feeds, RPC handlers) push frames into a
   bounded queue from any thread;
-- a dispatcher thread drains up to `batch_size` frames, pads the batch to
-  the fixed compiled shape (XLA recompiles on shape change, so batches are
-  fixed-size buckets), runs ONE jitted step, and routes outputs back to
-  each frame's stream;
+- ONE dispatcher thread owns all device interaction: it drains up to
+  `batch_size` frames, pads the batch to the fixed compiled shape (XLA
+  recompiles on shape change, so batches are fixed-size buckets), and
+  DISPATCHES one jitted step without waiting for its outputs (jax async
+  dispatch), keeping up to `max_inflight` batches in flight;
+- between dispatches the same thread polls the oldest in-flight batch's
+  `is_ready()` and fetches+routes outputs once the device is done, so
+  batch N+1 executes while batch N's outputs cross the link — the overlap
+  the reference gets from its producer/consumer frame ring
+  (queues.h:26-100) between the camera thread and the GL render thread.
+  Keeping dispatch and fetch on one thread (poll, don't block) both
+  avoids cross-thread runtime races and means the blocking read happens
+  only when the result is already available;
 - input buffers are donated to the step (the zero-copy analog of the
   reference's texture attach) since every frame is a fresh buffer.
 
@@ -29,10 +38,9 @@ from functools import partial
 from typing import Callable, Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from shadernn_tpu.utils import Timer, get_logger
+from shadernn_tpu.utils import get_logger
 
 logger = get_logger("snn_tpu.streaming")
 
@@ -103,11 +111,16 @@ class StreamingEngine:
         queue_capacity: int = 64,
         batch_window_s: float = 0.002,
         ingest: Optional[dict] = None,
+        max_inflight: int = 4,
     ):
         """ingest: optional {"means": ..., "norms": ...} — producers then
         submit raw uint8 frames and the on-device ingest pipeline
         (image/ingest.py) is fused into the same step as the model, the
-        full zero-copy path."""
+        full zero-copy path.
+
+        max_inflight: dispatched-but-undrained batch budget. Bounds HBM
+        held by in-flight outputs while letting dispatch run ahead of the
+        (possibly slow, e.g. remote-tunnel) output fetch."""
         self.engine = engine
         self.queue = FrameQueue(queue_capacity)
         self.on_result = on_result
@@ -119,10 +132,16 @@ class StreamingEngine:
         self._latencies: List[float] = []  # per-frame seconds (bounded)
         self.padded_frames = 0  # wasted compute: pad slots of partial batches
         self._thread: Optional[threading.Thread] = None
+        # (frames, device outputs, fill) batches dispatched but not yet
+        # fetched; owned exclusively by the dispatcher thread
+        self._inflight: List[tuple] = []
+        self.max_inflight = max(int(max_inflight), 1)
         self._stop = threading.Event()
-        self.step_timer = Timer("step")
+        self._fetch_ms: List[float] = []  # per-batch blocking fetch times
         self.frames_done = 0
         self.batches_run = 0
+        self._t_first_dispatch: Optional[float] = None
+        self._t_last_drain: Optional[float] = None
         self._step = None
         if ingest is not None:
             from shadernn_tpu.image.ingest import ingest_frames
@@ -171,18 +190,43 @@ class StreamingEngine:
             self._thread = None
 
     # -- dispatcher --------------------------------------------------------
+    @staticmethod
+    def _batch_ready(outs: dict) -> bool:
+        return all(
+            getattr(v, "is_ready", lambda: True)() for v in outs.values()
+        )
+
     def _loop(self) -> None:
+        """Single-owner device loop: dispatch up to max_inflight batches
+        ahead, fetch the oldest batch when the device has finished it (or
+        when the in-flight window is full and we must wait)."""
+        closed = False
         while not self._stop.is_set():
-            frames = self.queue.get_batch(self.batch_size, wait_s=0.25)
-            if not frames:
+            # 1. retire every batch the device has already finished
+            while self._inflight and self._batch_ready(self._inflight[0][1]):
+                self._drain_one(*self._inflight.pop(0))
+            # 2. full window: block on the oldest (device keeps chewing on
+            #    the rest; the read itself is the only wait)
+            if len(self._inflight) >= self.max_inflight:
+                self._drain_one(*self._inflight.pop(0))
                 continue
-            closed = frames and frames[-1] is None
             if closed:
+                if not self._inflight:
+                    break
+                # results pending but producer closed: poll cheaply
+                time.sleep(0.0005)
+                continue
+            # 3. pick up new frames; poll quickly while work is in flight
+            wait = 0.002 if self._inflight else 0.25
+            frames = self.queue.get_batch(self.batch_size, wait_s=wait)
+            if frames and frames[-1] is None:
+                closed = True
                 frames = frames[:-1]
             if frames:
                 self._run_batch([f for f in frames if f is not None])
-            if closed:
-                break
+        # drain what's left after a hard stop
+        while self._inflight:
+            self._drain_one(*self._inflight.pop(0))
 
     def _stack_padded(self, arrays: List[np.ndarray]) -> np.ndarray:
         batch = np.stack(arrays)
@@ -194,29 +238,47 @@ class StreamingEngine:
         return batch
 
     def _run_batch(self, frames: List[Frame]) -> None:
+        """DISPATCH one batch (no output fetch — jax async dispatch
+        returns immediately) and append it to the in-flight window."""
         fill = len(frames)
         self.padded_frames += self.batch_size - fill
         multi = isinstance(frames[0].data, dict)
+        # Hand the jitted step HOST arrays and let jit place the transfer:
+        # pre-committing with jnp.asarray gives the input the device's
+        # default layout, which can differ from the layout the compiled
+        # executable expects for that parameter — jit then RECOMPILES for
+        # the new layout (measured: a 200+ s remote recompile masquerading
+        # as a slow first fetch).
         if multi:
             inputs = {
-                name: jnp.asarray(
-                    self._stack_padded([f.data[name] for f in frames])
-                )
+                name: self._stack_padded([f.data[name] for f in frames])
                 for name in self.in_names
             }
         else:
-            inputs = jnp.asarray(self._stack_padded([f.data for f in frames]))
-        self.step_timer.start()
+            inputs = self._stack_padded([f.data for f in frames])
+        if self._t_first_dispatch is None:
+            self._t_first_dispatch = time.monotonic()
         if multi:
             outs = self.engine.model(inputs)
         elif self._step is not None:
             outs = self._step(inputs)
         else:
             outs = self.engine.model({self.in_name: inputs})
-        outs = {k: np.asarray(v) for k, v in outs.items() if k != "__dumps__"}
-        self.step_timer.stop()
+        outs = {k: v for k, v in outs.items() if k != "__dumps__"}
+        self._inflight.append((frames, outs, fill))
+
+    # -- drain ---------------------------------------------------------
+    def _drain_one(self, frames: List[Frame], outs: dict, fill: int) -> None:
+        """Fetch one in-flight batch's outputs and route results."""
+        t0 = time.monotonic()
+        # the one blocking host<->device read; batches dispatched after
+        # this one are already executing on-device meanwhile
+        outs = {k: np.asarray(v) for k, v in outs.items()}
         now = time.monotonic()
+        self._t_last_drain = now
         self.batches_run += 1
+        if len(self._fetch_ms) < 100_000:
+            self._fetch_ms.append(1e3 * (now - t0))
         for i, f in enumerate(frames):
             res = Result(
                 stream_id=f.stream_id,
@@ -235,16 +297,28 @@ class StreamingEngine:
 
     # -- stats -------------------------------------------------------------
     def stats(self) -> dict:
-        t = self.step_timer
+        # wall window from first dispatch to last drained batch: the
+        # honest serving rate with dispatch/fetch overlapped (t.total
+        # alone would only count the blocking fetches)
+        wall = (
+            (self._t_last_drain - self._t_first_dispatch)
+            if self._t_first_dispatch is not None
+            and self._t_last_drain is not None
+            else 0.0
+        )
         out = {
             "frames_done": self.frames_done,
             "batches_run": self.batches_run,
-            "mean_batch_ms": 1e3 * t.mean,
+            # mean blocking output-fetch time per batch (the host<->device
+            # read; on a remote link this is dominated by the tunnel RTT)
+            "mean_batch_ms": (
+                float(np.mean(self._fetch_ms)) if self._fetch_ms else 0.0
+            ),
             "avg_fill": self.frames_done / max(self.batches_run, 1),
             # wasted compute from padding partial batches to the bucket
             # shape — the serving-efficiency number avg_fill only hints at
             "padded_frames": self.padded_frames,
-            "throughput_fps": self.frames_done / t.total if t.total else 0.0,
+            "throughput_fps": self.frames_done / wall if wall else 0.0,
         }
         if self._latencies:
             lat = np.sort(np.asarray(self._latencies))

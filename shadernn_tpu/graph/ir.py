@@ -186,7 +186,14 @@ class Graph:
         order: List[Node] = []
         edges: Dict[str, List[str]] = {name: [] for name in self.nodes}
         for n in self.nodes.values():
-            for inp in set(n.inputs):
+            # dict.fromkeys = ORDER-PRESERVING dedup. set() here made the
+            # edge lists (and so Kahn's ready order, the emission order,
+            # and the lowered HLO) vary run-to-run with Python's hash
+            # randomization — every process then missed the persistent
+            # compile cache for multi-input graphs (observed: identical
+            # yolov3-tiny builds writing a differently-hashed cache entry,
+            # and a 150-260 s remote recompile, on every fresh process).
+            for inp in dict.fromkeys(n.inputs):
                 edges[inp].append(n.name)
         while ready:
             cur = ready.pop(0)

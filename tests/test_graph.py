@@ -26,6 +26,39 @@ def test_toposort_diamond():
     assert g.output_names == ["c"]
 
 
+def test_toposort_deterministic_across_hash_seeds():
+    """Kahn's edge lists must not depend on Python hash randomization:
+    a multi-input graph's topo order decides the lowered HLO, and any
+    run-to-run variation silently defeats the persistent compile cache
+    (observed: identical yolov3-tiny builds re-compiling 150-260 s in
+    every fresh process). Re-running toposort under different
+    PYTHONHASHSEEDs in subprocesses must give one identical order."""
+    import subprocess
+    import sys
+
+    code = """
+from shadernn_tpu.graph.ir import Graph, Node
+g = Graph()
+g.add(Node("in", "InputLayer", [], {"height": 8, "width": 8, "channels": 4}))
+for i in range(6):
+    g.add(Node(f"a{i}", "Activation", ["in"], {"activation": "relu"}))
+g.add(Node("cat", "Concatenate", [f"a{i}" for i in range(6)], {}))
+g.add(Node("add", "Add", ["cat", "cat"], {}))
+g.finalize()
+print(",".join(n.name for n in g.toposort()))
+"""
+    orders = set()
+    for seed in ("0", "1", "42"):
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env={**__import__("os").environ, "PYTHONHASHSEED": seed,
+                 "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        orders.add(r.stdout.strip())
+    assert len(orders) == 1, orders
+
+
 def test_duplicate_and_unknown_nodes():
     g = Graph()
     g.add(Node("in", "InputLayer", [], {"height": 8, "width": 8, "channels": 4}))
