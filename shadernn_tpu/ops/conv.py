@@ -55,6 +55,22 @@ def quantize_act(x, scale: float):
     )
 
 
+def a8w8_profitable(k: int, cin: int, cout: int) -> bool:
+    """Should this conv run int8 activations on the XLA path?
+
+    Int8 doubles MXU throughput (394 vs 197 TF) but costs a quantize pass
+    plus the layout copies XLA inserts around an int8 convolution's
+    operands/results. Traced on MobileNetV2 (DEVNOTES r4): engaging A8W8
+    on its stem (k3, cin 3) ran the conv at 1.7 TF/s and added ~0.3 ms of
+    data-formatting copies per step — a 1.64x step regression — while
+    ResNet18's k3/cin>=64 convs gain 1.5x. The contraction dimension must
+    be MXU-sized for the 2x compute rate to outweigh the fixed quant +
+    relayout toll: require a reasonably full K (k*k*cin) and a lane-filling
+    output width.
+    """
+    return cin >= 16 and cout >= 32 and k * k * cin >= 256
+
+
 def bn_scale_offset(node: Node, out_dtype):
     """Per-channel (scale, offset) for an unfolded BatchNorm epilogue.
 
@@ -241,11 +257,16 @@ class Conv2D(OpDef):
         from shadernn_tpu.config import Precision
 
         sa = float(node.attr("in_act_scale", 0.0) or 0.0)
+        k_ = int(node.attr("kernel_size"))
+        cin_ = x.shape[-1]
         # A8W8 only under an INT8 engine: a graph calibrated+quantized for
         # INT8 must still run full-precision when rebuilt at FP32/BF16
         # (weights dequantize via get_weight; activations stay float).
+        # And only where the int8 MXU rate beats the quant/relayout toll
+        # (a8w8_profitable — unprofitable convs run dequantized weights).
         if ("weight_q" in node.params and sa > 0.0
-                and ctx.precision == Precision.INT8):
+                and ctx.precision == Precision.INT8
+                and a8w8_profitable(k_, cin_, int(node.attr("out_channels")))):
             # A8W8: calibrated activation scale (quant/calibrate.py) ->
             # quantize the input, run int8 x int8 -> int32 on the MXU's
             # 394-TFLOPs int8 path, fold (act_scale * weight_scale) into

@@ -51,10 +51,14 @@ class Dense(OpDef):
         from shadernn_tpu.config import Precision
 
         sa = float(node.attr("in_act_scale", 0.0) or 0.0)
-        # Same INT8-engine gate as ops/conv.py: calibrated scales must not
-        # force int8 activation compute under an FP32/BF16 rebuild.
+        # Same INT8-engine + profitability gates as ops/conv.py: calibrated
+        # scales must not force int8 compute under an FP32/BF16 rebuild,
+        # and the contraction must be MXU-sized to beat the quant toll.
+        from shadernn_tpu.ops.conv import a8w8_profitable
+
         if ("weight_q" in node.params and sa > 0.0
-                and ctx.precision == Precision.INT8):
+                and ctx.precision == Precision.INT8
+                and a8w8_profitable(1, x.shape[-1], int(node.attr("units")))):
             # A8W8 (see ops/conv.py): int8 x int8 -> int32 matmul with the
             # combined act/weight scale folded into the dequant.
             from shadernn_tpu.ops.conv import quantize_act

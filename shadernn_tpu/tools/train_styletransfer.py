@@ -1,0 +1,178 @@
+"""Train a real style-transfer network against a FIXED style target and
+export the zoo artifact.
+
+The reference ships five trained fast-neural-style models
+(modelzoo/StyleTransfer/*-9_simplified.json); with no network egress
+(no VGG for a perceptual loss, no style images) the network is trained to
+reproduce a fixed PROCEDURAL stylization: a saturating painterly color
+remap plus dark edge strokes — a deterministic target function any
+correct image-to-image network can fit. That keeps the gate a TRUE
+metric (output-vs-target PSNR on held-out images, which must also beat
+the identity mapping by a wide margin), while training exercises exactly
+the numerics the r3 verdict called hairy: instance norm, stride-2
+deconvs, long residual chains — under real gradients through the
+framework's own differentiable forward.
+
+The network is fully convolutional, so it trains on 64x64 crops and
+exports at the zoo's 224x224 input (instance norm is
+resolution-independent).
+
+Usage: python -m shadernn_tpu.tools.train_styletransfer [--steps 400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from shadernn_tpu.tools.train_resnet18 import ARTIFACT_DIR, synth_cls
+
+
+def synth_imgs(rng: np.random.Generator, n: int, s: int = 64) -> np.ndarray:
+    """Structured content images in [0,1]: the classifier task's shapes /
+    stripes / textures over a random global color gradient."""
+    imgs, _ = synth_cls(rng, n, s=s)
+    yy, xx = np.mgrid[0:s, 0:s] / float(s)
+    for i in range(n):
+        ca, cb = rng.uniform(0, 1, (2, 3))
+        th = rng.uniform(0, 2 * np.pi)
+        t = (xx * np.cos(th) + yy * np.sin(th) + 1) / 2
+        grad = ca + (cb - ca) * t[..., None]
+        a = rng.uniform(0.3, 0.7)
+        imgs[i] = np.clip(a * imgs[i] + (1 - a) * grad, 0, 1)
+    return imgs.astype(np.float32)
+
+
+# The fixed "style": a full-rank color mixing matrix + offset, tone
+# compressed through tanh, with Sobel-edge darkening (candy-style dark
+# strokes). Deterministic; doubles as the ground-truth target function.
+_MIX = np.array(
+    [[0.9, 0.4, -0.1], [-0.2, 1.0, 0.3], [0.3, -0.3, 0.9]], np.float32
+)
+_OFF = np.array([0.05, -0.05, 0.1], np.float32)
+
+
+def style_target(x: np.ndarray) -> np.ndarray:
+    """x (N,H,W,3) in [0,1] -> stylized target in [0,1]."""
+    y = x @ _MIX.T + _OFF
+    y = 0.5 + 0.5 * np.tanh(2.5 * (y - 0.5))  # painterly tone compression
+    luma = x @ np.array([0.299, 0.587, 0.114], np.float32)
+    gx = np.zeros_like(luma)
+    gy = np.zeros_like(luma)
+    gx[:, :, 1:-1] = luma[:, :, 2:] - luma[:, :, :-2]
+    gy[:, 1:-1, :] = luma[:, 2:, :] - luma[:, :-2, :]
+    edges = np.minimum(np.sqrt(gx**2 + gy**2) * 2.5, 1.0)
+    y = y * (1.0 - 0.6 * edges[..., None])
+    return np.clip(y, 0, 1).astype(np.float32)
+
+
+def build_trainable(batch: int, hw: int = 64):
+    import shadernn_tpu as snn
+    from shadernn_tpu.engine.compile import compile_graph
+    from shadernn_tpu.models import build_model
+
+    graph = build_model("styletransfer", h=hw, w=hw)
+    m = compile_graph(
+        graph,
+        snn.EngineOptions(
+            precision=snn.Precision.FP32, backend=snn.BackendKind.XLA,
+            batch_size=batch,
+        ),
+    )
+    return graph, m
+
+
+def train(steps: int = 400, batch: int = 32, seed: int = 0, log=print):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    graph, m = build_trainable(batch)
+    (in_name,) = graph.input_names
+    out_name = graph.output_names[0]
+    fwd = m.forward
+    params = m.params
+
+    def loss_fn(p, x, t):
+        y = fwd(p, {in_name: x})[out_name]
+        return jnp.mean((y - t) ** 2)
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 1e-3, min(30, steps // 4), steps
+    )
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, opt, x, t):
+        l, g = jax.value_and_grad(loss_fn)(p, x, t)
+        updates, opt = tx.update(g, opt, p)
+        return optax.apply_updates(p, updates), opt, l
+
+    rng = np.random.default_rng(seed)
+    for it in range(steps):
+        x = synth_imgs(rng, batch)
+        t = style_target(x)
+        params, opt, l = step(params, opt, jnp.asarray(x), jnp.asarray(t))
+        if it % 25 == 0 or it == steps - 1:
+            log(f"step {it}: mse {float(l):.5f}")
+    return graph, m, params
+
+
+def evaluate(graph, m, params, n=64, seed=777, batch=32):
+    """Held-out PSNR of (network output vs style target), and of the
+    identity mapping (input vs target) as the must-beat floor."""
+    import jax.numpy as jnp
+
+    from shadernn_tpu.utils.metrics import psnr
+
+    (in_name,) = graph.input_names
+    out_name = graph.output_names[0]
+    rng = np.random.default_rng(seed)
+    net_db, id_db = [], []
+    for _ in range(max(n // batch, 1)):
+        x = synth_imgs(rng, batch)
+        t = style_target(x)
+        y = np.asarray(m.forward(params, {in_name: jnp.asarray(x)})[out_name])
+        net_db.append(psnr(np.clip(y, 0, 1), t))
+        id_db.append(psnr(x, t))
+    return float(np.mean(net_db)), float(np.mean(id_db))
+
+
+def export(graph, params, out_dir: str, hw: int = 224, log=print):
+    from shadernn_tpu.graph.serialize import save_model
+    from shadernn_tpu.models import build_model
+
+    # re-build at the zoo input size (fully convolutional + instance norm:
+    # weights are resolution-independent) and inject the trained weights
+    g224 = build_model("styletransfer", h=hw, w=hw)
+    for name, d in params.items():
+        node = g224.nodes[name]
+        for k, v in d.items():
+            node.params[k] = np.asarray(v)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "styletransfer_trained.json")
+    save_model(g224, path, decouple=True)
+    log(f"saved {path} (+ _layers.json/_weights.bin)")
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--out", default=ARTIFACT_DIR)
+    ap.add_argument("--platform", default="cpu")
+    args = ap.parse_args()
+    import jax
+
+    jax.config.update("jax_platforms", args.platform)
+    graph, m, params = train(args.steps)
+    net_db, id_db = evaluate(graph, m, params)
+    print(f"held-out PSNR vs target: net {net_db:.2f} dB, identity {id_db:.2f} dB")
+    export(graph, params, args.out)
+
+
+if __name__ == "__main__":
+    main()
