@@ -376,6 +376,8 @@ def build_forward(
                         graph.nodes[node.inputs[0]].out_spec.c,
                         act_dtype,
                         act_override=act_override,
+                        width=graph.nodes[node.inputs[0]].out_spec.w,
+                        tail=tail,
                     )
                     if built_p is None and options.chain_format == "packed":
                         log.warning(
@@ -389,9 +391,19 @@ def build_forward(
                         packed_chain_specs[node.name] = (
                             pspecs, in_spec.h, in_spec.w
                         )
+                        # Feed the RAW model input when the chain head is
+                        # fed straight by an InputLayer: pack_input folds
+                        # the activation-dtype cast into its pad+transpose
+                        # pass (an upfront cast costs a full extra memory
+                        # pass over the frame).
+                        vin = nhwc(v)
+                        head_src = graph.nodes[node.inputs[0]]
+                        if head_src.op == "InputLayer":
+                            vin = inputs[head_src.name]
                         res = fused_conv_chain_packed(
-                            nhwc(v), layer_params, pspecs,
+                            vin, layer_params, pspecs,
                             interpret=_interpret_mode(), tail=tail,
+                            compute_dtype=act_dtype,
                         )
                         env[run[-1].name] = res
                         if tail_node is not None:

@@ -68,6 +68,7 @@ from shadernn_tpu.ops.common import apply_activation
 
 P = 8  # image columns per lane group
 GL = 1  # left zero-margin groups
+TH = 64  # default output rows per grid step (see fused_conv_chain_packed)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,11 +108,12 @@ def _qx_pad(kw: int, c: int, dtype) -> int:
 
 
 def _packed_kernel(
-    x_hbm,  # (N, Hp_in, qxp0*c0, Gp) packed input
+    x_hbm,  # (N/ib, Hp_in, qxp0*c0, Gp) packed input
     *refs,
     specs: Tuple[PackedLayerSpec, ...],
     th: int,
-    gp: int,
+    gp: int,   # TOTAL lane groups = ib * gpi
+    gpi: int,  # lane groups per image
     h_list: Tuple[int, ...],
     w_list: Tuple[int, ...],
     a_offsets: Tuple[int, ...],
@@ -136,7 +138,10 @@ def _packed_kernel(
 
     def dma(slot, tile_idx):
         n = pl.program_id(0)
-        start = jnp.clip(tile_idx * th - a_offsets[0], 0, hp_in - rows0)
+        # The packed input carries exactly a_offsets[0] zero rows on top
+        # (pack_input tp), so every tile's window starts at tile*th with
+        # no clip-shift hazard; hp_in covers the last tile's overhang.
+        start = jnp.clip(tile_idx * th, 0, hp_in - rows0)
         return pltpu.make_async_copy(
             x_hbm.at[n, pl.ds(start, rows0)], xs.at[slot], sem.at[slot]
         )
@@ -172,24 +177,25 @@ def _packed_kernel(
     # Assemble layer 0's qx slab from the phase rows: qx = pl0 + b for the
     # aligned bulk, plus pl0 left / kw-1-pl0 right single-lane-shift rows
     # (xq[qx][g] = phase[qx-pl0+8][g-1] / phase[qx-pl0-8][g+1]).
+    # Whole-slab 3D stores (all rows at once): the per-row store loop this
+    # replaces issued 5 small stores x rows0 per grid step.
     sp0 = specs[0]
     c0, pl0 = sp0.c, sp0.pl
-    z0 = jnp.zeros((c0, 1), compute_dtype)
-    for row in range(rows0):
-        ph = xs[slot, row]  # (8*c0, Gp)
-        s0[row, pl0 * c0 : (pl0 + P) * c0] = ph
-        for qx in range(pl0):
-            b = qx - pl0 + P
-            s0[row, qx * c0 : (qx + 1) * c0, 1:] = ph[
-                b * c0 : (b + 1) * c0, : gp - 1
-            ]
-            s0[row, qx * c0 : (qx + 1) * c0, 0:1] = z0
-        for t2 in range(sp0.kw - 1 - pl0):
-            qx = pl0 + P + t2
-            s0[row, qx * c0 : (qx + 1) * c0, : gp - 1] = ph[
-                t2 * c0 : (t2 + 1) * c0, 1:
-            ]
-            s0[row, qx * c0 : (qx + 1) * c0, gp - 1 : gp] = z0
+    ph_all = xs[slot]  # (rows0, 8*c0, Gp)
+    s0[:, pl0 * c0 : (pl0 + P) * c0] = ph_all
+    z0r = jnp.zeros((rows0, c0, 1), compute_dtype)
+    for qx in range(pl0):
+        b = qx - pl0 + P
+        s0[:, qx * c0 : (qx + 1) * c0, 1:] = ph_all[
+            :, b * c0 : (b + 1) * c0, : gp - 1
+        ]
+        s0[:, qx * c0 : (qx + 1) * c0, 0:1] = z0r
+    for t2 in range(sp0.kw - 1 - pl0):
+        qx = pl0 + P + t2
+        s0[:, qx * c0 : (qx + 1) * c0, : gp - 1] = ph_all[
+            :, t2 * c0 : (t2 + 1) * c0, 1:
+        ]
+        s0[:, qx * c0 : (qx + 1) * c0, gp - 1 : gp] = z0r
 
     gid = jax.lax.broadcasted_iota(jnp.int32, (1, gp), 1)
 
@@ -205,11 +211,23 @@ def _packed_kernel(
         r, o = spec.r, spec.o
         m = r * P * o
         rows_patch = spec.kh + r - 1
-        # M-order ids for masking: rr (sub-row) and px (column-in-group)
+        # M-order ids for masking: rr (sub-row) and px (column-in-group).
+        # Last d2s2 layer uses M order (rr, py, px, px2) — chosen so the
+        # whole dot result stores contiguously (see the d2s2 tail below);
+        # other layers use (rr, px, o).
         mi = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-        rid = mi // (P * o)
-        pxv = (mi // o) - (mi // (P * o)) * P  # (mi // o) % P
-        col = P * gid + pxv - P * GL  # image column of (px, g)
+        if last and tail == "d2s2":
+            # M order (px2, rr, py, px): px2 halves are contiguous slices
+            # (Mosaic cannot lower stride-2 sublane selects), and each
+            # half's (rr, py, px) order matches the destination sublanes.
+            rid = (mi - (mi // (2 * r * P)) * (2 * r * P)) // (2 * P)
+            pxv = mi - (mi // P) * P  # mi % P
+        else:
+            rid = mi // (P * o)
+            pxv = (mi // o) - (mi // (P * o)) * P  # (mi // o) % P
+        # image column of (px, g) — per image when ib images share lanes
+        gimg = gid - (gid // gpi) * gpi
+        col = P * gimg + pxv - P * GL
         colok = (col >= 0) & (col < w_list[l])
         n_dots = -(-out_rows // r)
         for t in range(n_dots):
@@ -228,40 +246,58 @@ def _packed_kernel(
             )  # (M, Gp) f32
             y = acc * scale + offset
             y = apply_activation(y, spec.activation, spec.alpha)
-            # margins must be EXACT zeros (they are the next conv's padding)
+            # margins must be EXACT zeros (they are the next conv's padding).
+            # Valid image rows of layer l+1 sit at buffer rows [0, h_l):
+            # the top zero-pad is exactly a_offsets[0] input rows, which the
+            # per-layer offsets consume, so no fixed-margin shift remains.
+            # (A variant folding the row mask into (M,1) scale/offset and
+            # skipping last-layer masks measured 1.64x SLOWER on-chip —
+            # Mosaic pessimizes the per-dot (M,1) arithmetic; the single
+            # fused (M,Gp) mask multiply is the fast form.)
             g0 = i * th - a_offsets[l + 1] + j0
-            rowok = (g0 + rid >= MH) & (g0 + rid < MH + h_list[l])
+            rowok = (g0 + rid >= 0) & (g0 + rid < h_list[l])
             y = y * (rowok & colok).astype(jnp.float32)
+            ib = gp // gpi
             if last and tail == "c1":
-                # (N, hp*8, Gp): row j, column-slot px at sublane j*8+px.
+                # (N, hp*8, Gpi): row j, column-slot px at sublane j*8+px.
+                # Dot rows rr are destination-contiguous: one store per dot
+                # per packed image (the out block is per-image so the XLA
+                # unpack needs no batch un-interleave pass).
                 yc = y.astype(out_ref.dtype)
-                for rr in range(r):
-                    out_ref[0, (j0 + rr) * P : (j0 + rr + 1) * P] = yc[
-                        rr * P : (rr + 1) * P
+                for t2 in range(ib):
+                    out_ref[t2, j0 * P : (j0 + r) * P] = yc[
+                        :, t2 * gpi : (t2 + 1) * gpi
                     ]
             elif last and tail == "d2s2":
                 # depth_to_space(2) for o=4 heads: channel py*2+px2 lands at
-                # out (2j+py, 2w+px2), w = 8(g-1)+px. Emit u32 bf16-pairs in
-                # packed-column layout; XLA unpacks outside (bandwidth-bound).
-                yb = y.astype(jnp.bfloat16)
+                # out (2j+py, 2w+px2), w = 8(g-1)+px. The weight matrix was
+                # built with M order (px2, rr, py, px): the px2=0/1 halves
+                # are contiguous M slices whose (rr, py, px) order matches
+                # the destination sublanes, so the pair-packed u32 block
+                # stores in ONE (2rP, Gp) store per dot instead of 2*P*r
+                # single-sublane stores (measured as the kernel's dominant
+                # non-dot overhead). XLA unpacks the u32 pairs outside
+                # (bandwidth-bound).
+                ye = y[: m // 2]  # px2 = 0 (the even output columns)
+                yo = y[m // 2 :]  # px2 = 1
 
                 def pack(u, v):
-                    u16 = jax.lax.bitcast_convert_type(u, jnp.uint16)
-                    v16 = jax.lax.bitcast_convert_type(v, jnp.uint16)
+                    u16 = jax.lax.bitcast_convert_type(
+                        u.astype(jnp.bfloat16), jnp.uint16)
+                    v16 = jax.lax.bitcast_convert_type(
+                        v.astype(jnp.bfloat16), jnp.uint16)
                     return u16.astype(jnp.uint32) | (v16.astype(jnp.uint32) << 16)
 
-                for rr in range(r):
-                    base = rr * P * o
-                    for py in (0, 1):
-                        for px in range(P):
-                            b = base + px * o + 2 * py
-                            u32 = pack(yb[b : b + 1], yb[b + 1 : b + 2])
-                            out_ref[0, 2 * (j0 + rr) + py, px, :] = u32[0]
+                u32 = pack(ye, yo)
+                for t2 in range(ib):
+                    out_ref[t2, 2 * j0 * P : 2 * (j0 + r) * P] = u32[
+                        :, t2 * gpi : (t2 + 1) * gpi
+                    ]
             elif last:  # tail == "none": packed rows, unpacked by XLA
                 yc = y.astype(out_ref.dtype)
-                for rr in range(r):
-                    out_ref[0, (j0 + rr) * P * o : (j0 + rr + 1) * P * o] = yc[
-                        rr * P * o : (rr + 1) * P * o
+                for t2 in range(ib):
+                    out_ref[t2, j0 * P * o : (j0 + r) * P * o] = yc[
+                        :, t2 * gpi : (t2 + 1) * gpi
                     ]
             else:
                 nspec = specs[l + 1]
@@ -292,23 +328,31 @@ def _packed_kernel(
                         ] = zcol
 
 
-def pack_input(x, compute_dtype):
-    """XLA pre-pack: NHWC (N,H,W,C) -> phase layout (N, MH+H+MB, 8*C, Gp)
-    where sublane (b, c) of lane g holds image column 8*(g-1)+b. ONE
-    reshape+transpose (a single data-formatting copy, ~bandwidth); the qx
-    overlap slab is assembled in-kernel from aligned copies + two
-    single-lane shifts (strided slices here measured 197us EACH on
-    XLA:TPU — 2.4 ms of a 3.9 ms step). Returns (packed, Gp)."""
+def pack_input(x, compute_dtype, tp: int = MH, mb: int = MB, ib: int = 1):
+    """XLA pre-pack: NHWC (N,H,W,C) -> phase layout
+    (N/ib, tp+H+mb, 8*C, ib*Gp) where sublane (b, c) of lane t*Gp+g holds
+    image (block*ib + t)'s column 8*(g-1)+b. ONE reshape+transpose (a
+    single data-formatting copy, ~bandwidth); the qx overlap slab is
+    assembled in-kernel from aligned copies + two single-lane shifts
+    (strided slices here measured 197us EACH on XLA:TPU — 2.4 ms of a
+    3.9 ms step). tp: top zero rows (= the chain's total top padding
+    a_offsets[0] — every padded row is processed, so no fat fixed
+    margin); mb: bottom rows covering the last DMA window overhang.
+    ib: images packed side by side in lanes — the dots then run at
+    N = ib*Gp, amortizing per-dot MXU sequencing overhead (cross-image
+    lane-shift leakage is safe: every image's group 0 and dead tail
+    groups are exact zeros). Returns (packed, Gp-per-image)."""
     n, h, w, c = x.shape
     gp = _round_up(GL + -(-w // P) + 1, 128)
+    assert n % ib == 0
     xw = jnp.pad(
         x.astype(compute_dtype),
-        ((0, 0), (MH, MB), (P * GL, P * gp - P * GL - w), (0, 0)),
+        ((0, 0), (tp, mb), (P * GL, P * gp - P * GL - w), (0, 0)),
     )  # (N, Hp, 8*Gp, C)
     hp = xw.shape[1]
-    xq = xw.reshape(n, hp, gp, P, c)
-    xq = jnp.transpose(xq, (0, 1, 3, 4, 2))  # (N, Hp, 8, C, Gp)
-    return xq.reshape(n, hp, P * c, gp), gp
+    xq = xw.reshape(n // ib, ib, hp, gp, P, c)
+    xq = jnp.transpose(xq, (0, 2, 4, 5, 1, 3))  # (Nb, Hp, 8, C, ib, Gp)
+    return xq.reshape(n // ib, hp, P * c, ib * gp), gp
 
 
 def fused_conv_chain_packed(
@@ -318,20 +362,28 @@ def fused_conv_chain_packed(
     *,
     interpret: bool = False,
     tail: str = "none",
+    th: int = TH,
+    compute_dtype=None,
 ):
     """Run the whole chain in packed-column format.
 
     tail: "none" -> NHWC (N,H,W,o); "c1" (o=1) -> NHWC (N,H,W,1);
     "d2s2" (o=4) -> NHWC (N,2H,2W,1) with the subpixel fused.
+    th: output rows per grid step. Larger tiles amortize the kh-1-row
+    vertical margin recompute over more useful rows (the margin rows are
+    re-derived per tile; at th=32 that is ~25% of layer-0 rows, at th=64
+    ~12.5%) at the cost of more VMEM scratch and a longer unrolled-loop
+    compile. Must be a multiple of 8 (d2s2 sublane stores).
+    compute_dtype: override the x.dtype-derived compute type — lets the
+    caller hand in the RAW f32 model input (pack_input folds the bf16
+    cast into its pad+transpose pass; a separate upfront cast measured
+    35us/step at 540p b8).
     """
     nlayers = len(specs)
-    th = MH
     n, h, wdim, cin = x.shape
     assert cin == specs[0].c
-    compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-
-    xq, gp = pack_input(x, compute_dtype)
-    hp_in = xq.shape[1]
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
     h_list, w_list = [], []
     h_out, w_out = h, wdim
@@ -343,8 +395,35 @@ def fused_conv_chain_packed(
 
     a_off, rows_list = _plan_rows(specs, th)
     o_last = specs[-1].o
-    hp_out = -(-(MH + h_out + MB) // th) * th
-    n_h_tiles = hp_out // th
+    # Tight row budget: the top pad is exactly a_off[0] (consumed by the
+    # per-layer offsets), output buffer rows [0, h_out) are the valid
+    # image, and the bottom pad only covers the last tile's DMA overhang.
+    # (The previous fixed MH/MB margins made every step process ~15% pure
+    # zero-pad rows at 540p.)
+    n_h_tiles = -(-h_out // th)
+    hp_out = n_h_tiles * th
+    tp = a_off[0]
+    mb = (n_h_tiles - 1) * th + rows_list[0] - tp - h
+    # Pack ib images side by side in lanes: the dots run at N = ib*Gp,
+    # amortizing per-dot MXU sequencing (measured: the bare dot+store
+    # floor sat 17% above the slot bound at N = 128). Capped by VMEM.
+    gpi_probe = _round_up(GL + -(-wdim // P) + 1, 128)
+    scratch_per_img = sum(
+        rows_list[l + 1] * specs[l + 1].qxp * specs[l + 1].c
+        for l in range(nlayers - 1)
+    ) + 3 * rows_list[0] * max(P, specs[0].qxp) * cin
+    ib = 1
+    for cand in (4, 2):
+        if n % cand == 0 and (
+            scratch_per_img * gpi_probe * cand
+            * jnp.dtype(compute_dtype).itemsize < 80 * 1024 * 1024
+        ):
+            ib = cand
+            break
+    xq, gpi = pack_input(x, compute_dtype, tp=tp, mb=max(mb, 0), ib=ib)
+    gp = ib * gpi  # total lanes seen by the kernel
+    nb = n // ib
+    hp_in = xq.shape[1]
 
     assert tail in ("none", "c1", "d2s2")
     if tail == "c1":
@@ -354,7 +433,7 @@ def fused_conv_chain_packed(
 
     kernel = functools.partial(
         _packed_kernel,
-        specs=tuple(specs), th=th, gp=gp,
+        specs=tuple(specs), th=th, gp=gp, gpi=gpi,
         h_list=tuple(h_list), w_list=tuple(w_list),
         a_offsets=tuple(a_off), rows_list=tuple(rows_list),
         n_h_tiles=n_h_tiles, hp_in=hp_in,
@@ -368,13 +447,20 @@ def fused_conv_chain_packed(
         operands.append(p["wmat"])
     for key in ("scale", "offset"):
         for p, s in zip(layer_params, specs):
-            # per-o vector -> (M, 1) in (rr, px, o) order = tile r*8 times
+            # per-o vector -> (M, 1) matching the layer's M order:
+            # (rr, px, o) normally; (rr, py, px, px2) for the d2s2 layer
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-            operands.append(
-                jnp.tile(jnp.asarray(p[key]).reshape(-1), s.r * P)
-                .reshape(-1, 1)
-                .astype(jnp.float32)
-            )
+            vec = jnp.asarray(p[key]).reshape(-1)
+            if p.get("m_order") == "d2s2":
+                idx = np.array(
+                    [2 * py + px2
+                     for px2 in (0, 1) for _rr in range(s.r)
+                     for py in (0, 1) for _px in range(P)], np.int32)
+                operands.append(
+                    vec[idx].reshape(-1, 1).astype(jnp.float32))
+            else:
+                operands.append(
+                    jnp.tile(vec, s.r * P).reshape(-1, 1).astype(jnp.float32))
 
     scratches = [
         pltpu.VMEM((2, rows_list[0], P * cin, gp), compute_dtype),
@@ -387,24 +473,29 @@ def fused_conv_chain_packed(
         )
     scratches.append(pltpu.SemaphoreType.DMA((2,)))
 
+    # Output is PER-IMAGE (block dim0 = ib): the kernel slices each dot's
+    # lane chunks into image-separate blocks, so the XLA unpack needs no
+    # batch un-interleave pass (a full extra memory pass when tried).
     if tail == "d2s2":
+        # sublane s = (2j+py)*P + px (the (ib,2th,P,gpi) layout flattened
+        # so each dot's rows store contiguously)
         out_specs = pl.BlockSpec(
-            (1, 2 * th, P, gp), lambda ni, hi: (ni, hi, 0, 0),
+            (ib, 2 * th * P, gpi), lambda ni, hi: (ni, hi, 0),
             memory_space=pltpu.VMEM,
         )
-        out_shape = jax.ShapeDtypeStruct((n, 2 * hp_out, P, gp), jnp.uint32)
+        out_shape = jax.ShapeDtypeStruct((n, 2 * hp_out * P, gpi), jnp.uint32)
     else:
         rows_sub = P * (1 if tail == "c1" else o_last)
         out_specs = pl.BlockSpec(
-            (1, th * rows_sub, gp), lambda ni, hi: (ni, hi, 0),
+            (ib, th * rows_sub, gpi), lambda ni, hi: (ni, hi, 0),
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct(
-            (n, hp_out * rows_sub, gp), compute_dtype
+            (n, hp_out * rows_sub, gpi), compute_dtype
         )
     out = pl.pallas_call(
         kernel,
-        grid=(n, n_h_tiles),
+        grid=(nb, n_h_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -420,35 +511,35 @@ def fused_conv_chain_packed(
         # bitcast to bf16 pairs: out col 2*(8(g-1)+px)+e = 16g+2px+e-16.
         # Transposing the bitcast 5D bf16 view instead makes XLA shuffle
         # packed sublane pairs (slower relayout kernel).
-        tr = jnp.transpose(out, (0, 1, 3, 2))  # (N, 2Hp, Gp, 8)
+        out = out.reshape(n, 2 * hp_out, P, gpi)
+        tr = jnp.transpose(out[:, : 2 * h_out], (0, 1, 3, 2))  # (N,2H,G,8)
         half = jax.lax.bitcast_convert_type(tr, jnp.bfloat16)
-        half = half.reshape(n, 2 * hp_out, 2 * P * gp)
-        return half[
-            :, 2 * MH : 2 * (MH + h_out), 2 * P * GL : 2 * P * GL + 2 * w_out
-        ][..., None]
+        half = half.reshape(n, 2 * h_out, 2 * P * gpi)
+        return half[:, :, 2 * P * GL : 2 * P * GL + 2 * w_out][..., None]
     if tail == "c1":
-        y = out.reshape(n, hp_out, P, gp)
-        y = jnp.transpose(y, (0, 1, 3, 2)).reshape(n, hp_out, P * gp)
-        return y[:, MH : MH + h_out, P * GL : P * GL + w_out][..., None]
-    y = out.reshape(n, hp_out, P, o_last, gp)
-    y = jnp.transpose(y, (0, 1, 4, 2, 3)).reshape(n, hp_out, P * gp, o_last)
-    return y[:, MH : MH + h_out, P * GL : P * GL + w_out]
+        y = out.reshape(n, hp_out, P, gpi)[:, :h_out]
+        y = jnp.transpose(y, (0, 1, 3, 2)).reshape(n, h_out, gpi * P)
+        return y[:, :, P * GL : P * GL + w_out][..., None]
+    y = out.reshape(n, hp_out, P, o_last, gpi)[:, :h_out]
+    y = jnp.transpose(y, (0, 1, 4, 2, 3)).reshape(n, h_out, gpi * P, o_last)
+    return y[:, :, P * GL : P * GL + w_out]
 
 
 # ---------------------------------------------------------------------------
 # Graph-level construction
 
 
-def mxu_slot_flops(specs: Sequence[PackedLayerSpec], h: int, w: int) -> int:
+def mxu_slot_flops(specs: Sequence[PackedLayerSpec], h: int, w: int,
+                   th: int = TH) -> int:
     """Padded MXU slots (in FLOPs) per image: the kernel's binding bound.
     Counts every K x M x N slot the dots issue, including weight-matrix
     zeros and halo/margin recompute rows — bench.py prints achieved vs
-    this bound (see module docstring)."""
+    this bound (see module docstring). th must match the tile height the
+    kernel ran with (fused_conv_chain_packed default)."""
     gp = _round_up(GL + -(-w // P) + 1, 128)
     total = 0
-    a_off, rows_list = _plan_rows(specs, MH)
-    hp_out = -(-(MH + h + MB) // MH) * MH  # h here = final out rows
-    n_h_tiles = hp_out // MH
+    a_off, rows_list = _plan_rows(specs, th)
+    n_h_tiles = -(-h // th)  # h here = final out rows
     for l, s in enumerate(specs):
         out_rows = rows_list[l + 1]
         n_dots = -(-out_rows // s.r)
@@ -461,6 +552,9 @@ def mxu_slot_flops(specs: Sequence[PackedLayerSpec], h: int, w: int) -> int:
 def build_chain_packed(
     nodes, in_channels: int, act_dtype,
     act_override: Optional[Tuple[str, float]] = None,
+    th: int = TH,
+    width: Optional[int] = None,
+    tail: str = "none",
 ) -> Optional[Tuple[list, list]]:
     """Build (layer_params, specs) for a stride-1 conv run in packed
     format, or None if unsupported (caller falls back to the im2col
@@ -501,17 +595,23 @@ def build_chain_packed(
         ))
         raw.append((w, scale, offset))
         c = o
-    # geometry + VMEM gates (same margins discipline as chain_pallas)
-    th = MH
+    # geometry + VMEM gates. Top/bottom input pads are computed exactly
+    # from the chain's own offsets (fused_conv_chain_packed), so the only
+    # geometry cap is keeping the vertical halo small vs the tile.
     a_off, rows = _plan_rows(specs, th)
     b0 = rows[0] - th - a_off[0]
-    if a_off[0] > MH or b0 > MB - th + 1:
+    if a_off[0] > th or b0 > th:
         return None
-    bytes_needed = 0
+    # real VMEM footprint: per-layer scratch slabs + the double-buffered
+    # phase input, all gp lanes wide (gp known once the caller passes the
+    # image width; 1024 = the 8k-wide worst case otherwise)
+    gp = (_round_up(GL + -(-width // P) + 1, 128) if width else 1024)
+    bytes_needed = 2 * rows[0] * P * specs[0].c * dt.itemsize
+    bytes_needed += rows[0] * specs[0].qxp * specs[0].c * dt.itemsize
     for l in range(len(specs) - 1):
         ns = specs[l + 1]
         bytes_needed += rows[l + 1] * ns.qxp * ns.c * dt.itemsize
-    if bytes_needed * 1300 > 60 * 1024 * 1024:
+    if bytes_needed * gp > 80 * 1024 * 1024:
         return None
     for l, s in enumerate(specs):
         r = min(s.r, rows[l + 1])
@@ -522,12 +622,29 @@ def build_chain_packed(
         rows_patch = s.kh + s.r - 1
         kdim = rows_patch * s.qxp * s.c
         m = s.r * P * s.o
-        wm = jnp.zeros((rows_patch, s.qxp, s.c, s.r, P, s.o), w.dtype)
-        for rr in range(s.r):
-            for px in range(P):
-                wm = wm.at[rr : rr + s.kh, px : px + s.kw, :, rr, px, :].set(w)
-        wmat = wm.reshape(kdim, m)
+        d2s2_last = tail == "d2s2" and l == len(specs) - 1
+        if d2s2_last:
+            # M order (px2, rr, py, px), channel = 2*py + px2: the px2
+            # halves are contiguous M slices and whole dots store
+            # contiguously (see _packed_kernel d2s2 tail). o == 4.
+            wp = jnp.asarray(w).reshape(s.kh, s.kw, s.c, 2, 2)  # (.., py, px2)
+            wm = jnp.zeros((rows_patch, s.qxp, s.c, 2, s.r, 2, P), w.dtype)
+            for rr in range(s.r):
+                for px in range(P):
+                    wm = wm.at[
+                        rr : rr + s.kh, px : px + s.kw, :, :, rr, :, px
+                    ].set(wp.transpose(0, 1, 2, 4, 3))  # (.., px2, py)
+            wmat = wm.reshape(kdim, m)
+        else:
+            wm = jnp.zeros((rows_patch, s.qxp, s.c, s.r, P, s.o), w.dtype)
+            for rr in range(s.r):
+                for px in range(P):
+                    wm = wm.at[rr : rr + s.kh, px : px + s.kw, :, rr, px, :].set(w)
+            wmat = wm.reshape(kdim, m)
         if wmat.dtype != jnp.int8:
             wmat = wmat.astype(act_dtype)
-        layer_params.append({"wmat": wmat, "scale": scale, "offset": offset})
+        layer_params.append({
+            "wmat": wmat, "scale": scale, "offset": offset,
+            "m_order": "d2s2" if d2s2_last else "std",
+        })
     return layer_params, specs

@@ -45,7 +45,7 @@ def conv_ref(x, w, b, act):
     return y
 
 
-def _build(rng, cfg, cin, dtype):
+def _build(rng, cfg, cin, dtype, width=64, tail="none"):
     nodes, layers = [], []
     c = cin
     for k, o, act in cfg:
@@ -54,7 +54,7 @@ def _build(rng, cfg, cin, dtype):
         nodes.append(FakeNode(k, o, act, w, b))
         layers.append((w, b, act))
         c = o
-    built = build_chain_packed(nodes, cin, dtype)
+    built = build_chain_packed(nodes, cin, dtype, width=width, tail=tail)
     assert built is not None
     return built, layers
 
@@ -83,7 +83,7 @@ def test_packed_chain_c1_tail(rng, cin):
 def test_packed_chain_d2s2_tail_bf16(rng, fp16_threshold):
     (lp, specs), layers = _build(
         rng, [(5, 16, "relu"), (3, 16, "relu"), (3, 4, "tanh")], 1,
-        jnp.bfloat16,
+        jnp.bfloat16, tail="d2s2",
     )
     x = rng.standard_normal((2, 21, 50, 1)).astype(np.float32)
     got = np.asarray(fused_conv_chain_packed(
