@@ -196,10 +196,58 @@ def _chain_roofline(stats, log, batch: int) -> dict:
     return out
 
 
-def _block_roofline(stats, log) -> dict:
+def _measure_launch_us(log) -> float:
+    """Per-pallas-kernel dispatch overhead: time a jitted chain of k
+    trivial kernels for two k and difference them (the kernels' own work
+    is a (8,128) copy, ~ nothing)."""
+    import functools
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def triv(x_ref, o_ref):
+        o_ref[...] = x_ref[...] + 1.0
+
+    def chain(k):
+        @jax.jit
+        def f(x):
+            for _ in range(k):
+                x = pl.pallas_call(
+                    triv,
+                    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                )(x)
+            return x
+        return f
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    times = {}
+    for k in (2, 12):
+        f = chain(k)
+        jax.block_until_ready(f(x))
+        best = 9e9
+        for _ in range(3):
+            t0 = _t.monotonic()
+            for _ in range(50):
+                y = f(x)
+            jax.block_until_ready(y)
+            best = min(best, (_t.monotonic() - t0) / 50)
+        times[k] = best
+    launch = max((times[12] - times[2]) / 10 * 1e6, 0.0)
+    log(f"pallas launch overhead: {launch:.2f} us/kernel "
+        f"(k2 {times[2]*1e6:.1f} us, k12 {times[12]*1e6:.1f} us)")
+    return launch
+
+
+def _block_roofline(stats, log, batch: int) -> dict:
     """Per-kernel roofline for the fused inverted-residual block kernels
     (kernels/block_pallas.py): true FLOPs of the fused members vs the
-    custom-call time attributed to the block kernels in the trace."""
+    custom-call time attributed to the block kernels in the trace, PLUS
+    the BINDING bound (VERDICT r3 #2): per-block issued-work floors
+    (padded MXU slots + measured-rate VPU depthwise + HBM, see
+    block_pallas.invres_floor_us) plus the measured per-kernel dispatch
+    overhead."""
     report = stats.get("_report")
     graph = stats.get("_graph")
     fwd = stats.get("_forward")
@@ -246,6 +294,26 @@ def _block_roofline(stats, log) -> dict:
         "block_dw_vpu_gflop": round(dw_flops / 1e9, 2),
         "block_matmul_gflop": round(mm_flops / 1e9, 2),
     }
+    # BINDING bound: per-block issued-work floor + measured dispatch toll.
+    block_specs = getattr(fwd, "block_specs", None)
+    if block_specs:
+        from shadernn_tpu.kernels.block_pallas import invres_floor_us
+
+        floors = [
+            invres_floor_us(spec, nb, 2)  # bf16 activations
+            for spec, nb in block_specs.values()
+        ]
+        floor_us = sum(f["floor_us"] for f in floors)
+        launch_us = _measure_launch_us(log)
+        bound_us = floor_us + launch_us * len(floors)
+        out["block_kernels_bound_ms"] = round(bound_us / 1e3, 4)
+        out["block_kernels_pct_of_bound"] = round(100 * bound_us / k_us, 1)
+        out["block_bound_split_us"] = {
+            "mxu": round(sum(f["mxu_us"] for f in floors), 1),
+            "vpu_dw": round(sum(f["vpu_us"] for f in floors), 1),
+            "hbm": round(sum(f["hbm_us"] for f in floors), 1),
+            "dispatch": round(launch_us * len(floors), 1),
+        }
     log(f"block kernels roofline: {out}")
     return out
 
@@ -561,7 +629,7 @@ def main():
                 mstats.get("p50_ms_per_frame",
                            mstats["mean_ms"] / args.batch), 4)
             extra["mobilenetv2_compile_s"] = mstats["compile_s"]
-            extra.update(_block_roofline(mstats, log))
+            extra.update(_block_roofline(mstats, log, args.batch))
             w = warm_compile_s("mobilenetv2", "INT8", args.batch, log)
             if w > 0:
                 extra["mobilenetv2_warm_compile_s"] = w

@@ -272,6 +272,7 @@ def build_forward(
     # so retraces don't duplicate) — bench.py computes the MXU-slot bound
     # roofline from these (chain_packed_pallas.mxu_slot_flops).
     packed_chain_specs: Dict[str, tuple] = {}
+    block_specs: Dict[str, tuple] = {}  # fused invres: name -> (spec, batch)
 
     def _forward_impl(params: Params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         from shadernn_tpu.kernels.chain_pallas import build_chain, fused_conv_chain
@@ -327,6 +328,7 @@ def build_forward(
                 res = None
                 if built is not None:
                     operands, spec = built
+                    block_specs[node.name] = (spec, in_spec.n)
                     res = fused_invres_block(
                         nhwc(xs[0]), *operands, spec,
                         interpret=_interpret_mode(),
@@ -492,6 +494,7 @@ def build_forward(
         for head, members in blocks.items()
     }
     forward.packed_chain_specs = packed_chain_specs
+    forward.block_specs = block_specs
     return forward
 
 

@@ -174,6 +174,10 @@ def _invres_kernel(
     # Depthwise 3x3 SAME, stride 1: acc[p] = sum_taps e[p + off] * wd[tap],
     # masked where the tap crosses an image border (guard rows make the
     # slices in-bounds; masks make them correct across batch boundaries).
+    # The chain accumulates in f32: a bf16-accumulation variant (halving
+    # the streamed temporaries) measured 1.45x SLOWER on-chip — Mosaic's
+    # packed-bf16 elementwise + where-masks cost more than the saved
+    # bandwidth (DEVNOTES r4).
     acc = None
     for dy in range(3):
         for dx in range(3):
@@ -295,6 +299,61 @@ def fused_invres_block(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(*operands)
     return out.reshape(n, h, w, spec.cout)
+
+
+# Measured achievable rates on the target chip (micro-kernels, DEVNOTES
+# r4): a dependent f32 FMA chain on (512,1024) VMEM blocks sustains
+# ~35 TFLOP/s; the MXU peaks are the PEAK_FLOPS table values. Used by
+# invres_floor_us to print a BINDING bound for the fused block kernels.
+VPU_F32_FLOPS = 35e12
+
+
+def invres_floor_us(spec: InvResSpec, n: int, itemsize: int,
+                    peak_mxu: float = 197e12,
+                    peak_hbm: float = 819e9) -> dict:
+    """Per-model-step floor (microseconds) for one fused block, from the
+    kernel's issued work (the analog of chain_packed_pallas.
+    mxu_slot_flops):
+
+      - mxu: both 1x1 matmuls at their PADDED dims — contraction and lane
+        dims round up to 128 (Mosaic tiles), M to the sublane granule;
+        padding slots are issued and cost real cycles. int8 stages
+        (ax1/ax2) run at 2x rate.
+      - vpu: the depthwise stage = 9 taps x (mul + add + border-select)
+        on (P, Ep) f32 blocks, at the measured achievable FMA rate.
+      - hbm: the block's HBM traffic (x in, y out, weights once),
+        overlapped with compute by the grid pipeline.
+
+    floor = max(mxu + vpu [serial: the dw depends on the expand, the
+    project on the dw], hbm). Dispatch overhead is measured separately
+    by the bench (it is a property of the runtime, not the kernel).
+    """
+    b = plan_b_tile(spec, n, itemsize) or 1  # the tile the kernel RUNS at
+    steps = max(n // b, 1)
+    p = b * spec.h * spec.w
+    pp = _round_up(p, 8)
+    kp1 = _round_up(spec.cin, 128)
+    ep = _round_up(spec.e, 128)
+    coutp = _round_up(spec.cout, 128)
+    mxu_flops = 0.0
+    if spec.has_expand:
+        mxu_flops += 2 * pp * kp1 * ep / (2.0 if spec.ax1 else 1.0)
+    mxu_flops += 2 * pp * ep * coutp / (2.0 if spec.ax2 else 1.0)
+    # 9 taps x (mul + add) + 8 border-selects ~ 26 ops per pixel-channel
+    vpu_ops = (9 * 2 + 8) * pp * ep
+    act_bytes = (p * spec.cin + p * spec.cout) * itemsize
+    w_bytes = (
+        spec.cin * spec.e + 9 * spec.e + spec.e * spec.cout
+    ) * itemsize  # loaded once (constant-index weight blocks)
+    mxu_us = steps * mxu_flops / peak_mxu * 1e6
+    vpu_us = steps * vpu_ops / VPU_F32_FLOPS * 1e6
+    hbm_us = (steps * act_bytes + w_bytes) / peak_hbm * 1e6
+    return {
+        "mxu_us": mxu_us,
+        "vpu_us": vpu_us,
+        "hbm_us": hbm_us,
+        "floor_us": max(mxu_us + vpu_us, hbm_us),
+    }
 
 
 # ---------------------------------------------------------------------------
