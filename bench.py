@@ -107,6 +107,21 @@ import sys, time
 sys.path.insert(0, {repo!r})
 from shadernn_tpu.utils import enable_compile_cache
 enable_compile_cache({cache!r})
+import jax
+from jax._src import monitoring as _mon
+_hits = [0]
+_reqs = [0]
+_retrieval_s = [0.0]
+def _ev(name, **kw):
+    if name == "/jax/compilation_cache/cache_hits":
+        _hits[0] += 1
+    elif name == "/jax/compilation_cache/compile_requests_use_cache":
+        _reqs[0] += 1
+def _dur(name, secs, **kw):
+    if name == "/jax/compilation_cache/cache_retrieval_time_sec":
+        _retrieval_s[0] += secs
+_mon.register_event_listener(_ev)
+_mon.register_event_duration_secs_listener(_dur)
 import numpy as np, shadernn_tpu as snn
 from shadernn_tpu.models import build_model
 t0 = time.time()
@@ -116,30 +131,48 @@ x = np.random.default_rng(0).random((1, *eng.model.input_specs[
     eng.model.graph.input_names[0]][1:]), dtype=np.float32)
 eng.model.run_single(np.repeat(x, {batch}, 0))
 print("WARM_COMPILE_S", round(time.time() - t0, 1))
+print("CACHE_HITS", _hits[0])
+print("CACHE_MISSES", max(_reqs[0] - _hits[0], 0))
+print("CACHE_RETRIEVAL_S", round(_retrieval_s[0], 2))
 """
 
 
-def warm_compile_s(name: str, prec: str, batch: int, log) -> float:
+def warm_compile_s(name: str, prec: str, batch: int, log) -> dict:
     """Cold-start story (VERDICT r2 #5): rebuild the engine in a FRESH
     process and time compile+first-run. A warm persistent/remote-compile
     cache must bring this to seconds; in-process re-creation would only
-    test jax's in-memory executable cache and prove nothing."""
+    test jax's in-memory executable cache and prove nothing.
+
+    The subprocess now also counts persistent-cache hits/misses via jax
+    monitoring events and reports the executable-retrieval time, so the
+    cache HIT is ASSERTED in the bench output instead of narrated
+    (VERDICT r4 #8): compile_cache_hit = (hits > 0 and misses == 0), and
+    the warm wall splits into {retrieval, other (executable load + run)}.
+    """
     import subprocess
 
     code = WARM_COMPILE_SNIPPET.format(
         repo=_REPO, cache=os.path.join(_REPO, ".jax_cache"),
         name=name, prec=prec, batch=batch,
     )
+    out = {}
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=900,
                            capture_output=True, text=True)
         for line in r.stdout.splitlines():
             if line.startswith("WARM_COMPILE_S"):
-                return float(line.split()[1])
-        log(f"warm-compile subprocess gave no result: {r.stderr[-300:]}")
+                out["warm_compile_s"] = float(line.split()[1])
+            elif line.startswith("CACHE_HITS"):
+                out["cache_hits"] = int(line.split()[1])
+            elif line.startswith("CACHE_MISSES"):
+                out["cache_misses"] = int(line.split()[1])
+            elif line.startswith("CACHE_RETRIEVAL_S"):
+                out["cache_retrieval_s"] = float(line.split()[1])
+        if "warm_compile_s" not in out:
+            log(f"warm-compile subprocess gave no result: {r.stderr[-300:]}")
     except Exception as e:
         log(f"warm-compile subprocess failed: {e}")
-    return -1.0
+    return out
 
 
 def _chain_roofline(stats, log, batch: int) -> dict:
@@ -431,8 +464,20 @@ def _stream_bench(batch: int, log, seconds: float = 3.0) -> dict:
 
     threading.Thread(target=_produce_and_drain, daemon=True).start()
     if not done.wait(timeout=max(seconds * 40, 120.0)):
-        log("stream pass 1 hit the tunnel-weather deadline; reporting "
-            "partial stats (threads abandoned, daemon)")
+        # Hard-stop pass 1 (ADVICE r4 medium): an abandoned producer/
+        # dispatcher would keep submitting on the shared engine while the
+        # traced pass 2 runs, mixing both streams' device steps into one
+        # trace and contending two dispatchers on one device.
+        log("stream pass 1 hit the tunnel-weather deadline; hard-stopping "
+            "before the traced pass")
+        stream._stop.set()  # dispatcher polls _stop within 0.25 s
+        try:  # sentinel is a courtesy; a full queue must not block bench
+            stream.queue._q.put_nowait(None)
+        except Exception:
+            pass
+        t = stream._thread
+        if t is not None:
+            t.join(timeout=30.0)
     st = stream.stats()
     log(f"stream pass 1 (wall) done: {st}")
     # Pass 2 (traced, short): device-side step time of the streamed
@@ -631,8 +676,20 @@ def main():
             extra["mobilenetv2_compile_s"] = mstats["compile_s"]
             extra.update(_block_roofline(mstats, log, args.batch))
             w = warm_compile_s("mobilenetv2", "INT8", args.batch, log)
-            if w > 0:
-                extra["mobilenetv2_warm_compile_s"] = w
+            if w.get("warm_compile_s", -1) > 0:
+                extra["mobilenetv2_warm_compile_s"] = w["warm_compile_s"]
+                extra["mobilenetv2_warm_cache_hits"] = w.get("cache_hits", 0)
+                extra["mobilenetv2_warm_cache_misses"] = w.get(
+                    "cache_misses", 0)
+                extra["mobilenetv2_warm_cache_retrieval_s"] = w.get(
+                    "cache_retrieval_s", 0.0)
+                # the asserted cache story: every compile request in the
+                # warm process was served from the persistent cache
+                extra["compile_cache_hit"] = bool(
+                    w.get("cache_hits", 0) > 0
+                    and w.get("cache_misses", 0) == 0
+                )
+                log(f"warm compile split: {w}")
         except Exception as e:
             log(f"mobilenetv2 secondary FAILED {type(e).__name__}: {e}")
         try:
@@ -670,14 +727,36 @@ def main():
         stats.get("p50_ms_per_frame", stats["mean_ms"] / args.batch), 4)
     extra["compile_s"] = stats["compile_s"]
     extra["protocol"] = stats.get("protocol", "loop")
+    record = {
+        "metric": f"{args.model}_{args.precision}_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / (1e3 / REFERENCE_ESPCN_MS), 1),
+        "extra": extra,
+    }
+    # Full detail goes to an artifact + an EARLIER stdout line; the FINAL
+    # line stays compact so the driver's tail capture parses it (VERDICT
+    # r4 #7: BENCH_r04 overflowed the tail and landed `parsed: null`).
+    with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record), flush=True)
+    headline_keys = (
+        "p50_ms_per_frame", "compile_s", "protocol", "output_dtype",
+        "chain_kernel_pct_of_bound", "chain_kernel_roofline_pct",
+        "chain_int8_frames_per_sec", "chain_int8_pct_of_bound",
+        "mobilenetv2_int8_frames_per_sec_per_chip",
+        "block_kernels_pct_of_bound", "aot_load_s", "compile_cache_hit",
+    )
+    compact = {k: extra[k] for k in headline_keys if k in extra}
+    compact["detail"] = "BENCH_DETAIL.json"
     print(
         json.dumps(
             {
-                "metric": f"{args.model}_{args.precision}_frames_per_sec_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / (1e3 / REFERENCE_ESPCN_MS), 1),
-                "extra": extra,
+                "metric": record["metric"],
+                "value": record["value"],
+                "unit": record["unit"],
+                "vs_baseline": record["vs_baseline"],
+                "extra": compact,
             }
         )
     )

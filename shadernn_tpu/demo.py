@@ -100,6 +100,62 @@ def cmd_stream(args):
     print(json.dumps(svc.stats(), indent=2))
 
 
+def cmd_serve(args):
+    """Production serving start: AOT by default (VERDICT r4 #8).
+
+    First call exports the compiled engine (build + jit + serialize) to
+    `--export-dir`; every later start loads the StableHLO artifact with NO
+    model-building code and begins serving in seconds — the analog of the
+    reference's one-time model-load compile story (SURVEY §3.1), made the
+    default path rather than a bench row.
+    """
+    import os
+    import time
+    from types import SimpleNamespace
+
+    from shadernn_tpu.engine.deploy import ExportedEngine, export_engine
+    from shadernn_tpu.engine.streaming import StreamingEngine
+
+    export_dir = args.export_dir or os.path.join(
+        "serving_artifacts", f"{args.model}_{args.precision}_b{args.batch}"
+    )
+    t0 = time.time()
+    if args.no_aot or not os.path.exists(
+        os.path.join(export_dir, "step.stablehlo")
+    ):
+        # one-time deploy step (or explicit opt-out): build, compile, export
+        from shadernn_tpu.models.runners import make_engine
+
+        precision, backend = _opts(args)
+        eng = make_engine(args.model, precision, backend, args.batch)
+        if not args.no_aot:
+            export_engine(eng, export_dir)
+            print(f"exported AOT artifact to {export_dir}/")
+    exp = ExportedEngine(export_dir)
+    (in_name,) = list(exp.meta["inputs"])
+    shape = exp.meta["inputs"][in_name]
+    # first execution compiles through the persistent cache (deserialized
+    # StableHLO is deterministic) — block so start time is honest
+    np.asarray(exp.run_single(np.zeros(shape, np.float32)))
+    print(f"serving ready in {time.time() - t0:.1f}s "
+          f"({'AOT' if not args.no_aot else 'JIT'}; model {args.model}, "
+          f"batch {shape[0]})")
+
+    # continuous-batching service over the exported step: StreamingEngine
+    # needs .model (callable), .options.batch_size, .graph.input_names
+    adapter = SimpleNamespace(
+        model=exp,
+        options=SimpleNamespace(batch_size=shape[0], auto_output_layout=False),
+        graph=SimpleNamespace(input_names=[in_name]),
+    )
+    svc = StreamingEngine(adapter).start()
+    rng = np.random.default_rng(0)
+    for i in range(args.frames):
+        svc.submit(i % 4, i, rng.random(tuple(shape[1:]), dtype=np.float32))
+    svc.stop(drain=True)
+    print(json.dumps(svc.stats(), indent=2))
+
+
 def cmd_list(_args):
     from shadernn_tpu.models.runners import RUNNERS
 
@@ -127,6 +183,18 @@ def main(argv=None):
     _common(p_stream)
     p_stream.add_argument("--frames", type=int, default=64)
     p_stream.set_defaults(fn=cmd_stream)
+
+    p_serve = sub.add_parser(
+        "serve", help="start a serving loop (AOT artifact by default)")
+    _common(p_serve)
+    p_serve.add_argument("--frames", type=int, default=64)
+    p_serve.add_argument("--export-dir", default=None,
+                         help="AOT artifact dir (default: "
+                         "serving_artifacts/<model>_<precision>_b<batch>)")
+    p_serve.add_argument("--no-aot", action="store_true",
+                         help="skip the AOT artifact and serve the jitted "
+                         "engine directly")
+    p_serve.set_defaults(fn=cmd_serve)
 
     p_list = sub.add_parser("list", help="list runners")
     p_list.set_defaults(fn=cmd_list)

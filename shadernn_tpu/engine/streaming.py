@@ -175,6 +175,10 @@ class StreamingEngine:
 
     # -- service lifecycle -------------------------------------------------
     def start(self) -> "StreamingEngine":
+        # Fresh wall window per start(): reusing an engine across runs must
+        # not fold inter-run idle time into throughput_fps (ADVICE r4).
+        self._t_first_dispatch = None
+        self._t_last_drain = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
@@ -309,9 +313,12 @@ class StreamingEngine:
         out = {
             "frames_done": self.frames_done,
             "batches_run": self.batches_run,
-            # mean blocking output-fetch time per batch (the host<->device
-            # read; on a remote link this is dominated by the tunnel RTT)
-            "mean_batch_ms": (
+            # mean residual blocking output-fetch time per batch (the
+            # host<->device read; near zero once overlap hides it; on a
+            # remote link dominated by the tunnel RTT). Renamed from the
+            # pre-overlap `mean_batch_ms`, which measured per-batch step
+            # time — a different quantity (ADVICE r4).
+            "mean_fetch_ms": (
                 float(np.mean(self._fetch_ms)) if self._fetch_ms else 0.0
             ),
             "avg_fill": self.frames_done / max(self.batches_run, 1),

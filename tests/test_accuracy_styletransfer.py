@@ -39,19 +39,15 @@ EVAL_S = 64  # the training resolution: the learned mapping is gated at
 
 def _engine(precision=snn.Precision.FP32):
     """Load the artifact and rebuild at the evaluation resolution (the
-    network is fully convolutional; only the InputLayer dims change)."""
+    network is fully convolutional; only the InputLayer dims change —
+    `input_hw` is the engine's retarget path, the same one every sibling
+    accuracy gate uses)."""
     from shadernn_tpu.engine.engine import Engine
-    from shadernn_tpu.graph.serialize import load_model
 
-    g = load_model(JSON)
-    (in_name,) = g.input_names
-    g.nodes[in_name].attrs["height"] = EVAL_S
-    g.nodes[in_name].attrs["width"] = EVAL_S
-    for n in g.nodes.values():
-        n.out_spec = None
-    g.infer_shapes(batch_size=BATCH)
-    return Engine.from_graph(
-        g, snn.EngineOptions(precision=precision, batch_size=BATCH)
+    return Engine.from_json(
+        JSON,
+        snn.EngineOptions(precision=precision, batch_size=BATCH),
+        input_hw=(EVAL_S, EVAL_S),
     )
 
 
