@@ -409,6 +409,64 @@ def _a8w8_bench(batch: int, loops: int, log, model: str = "mobilenetv2") -> dict
     return out
 
 
+def _chain_int8_bench(batch: int, loops: int, log) -> dict:
+    """INT8 packed chain A/B (VERDICT r4 #3, carried from r3 #6): ESPCN
+    540p under an INT8 engine, chain_a8 auto (int8 x int8 dots where the
+    layer's input range is calibrated) vs chain_a8 off (weight-only int8,
+    bf16 dots). Int8 dots issue MXU slots at double rate, halving the
+    kernel's slot bound — mxu_slot_flops counts int8-dot layers at half
+    weight, so pct_of_bound stays comparable across modes."""
+    import jax
+
+    import shadernn_tpu as snn
+    from shadernn_tpu.models import build_model
+    from shadernn_tpu.quant.calibrate import calibrate_activations
+    from shadernn_tpu.utils.profiler import PEAK_FLOPS
+
+    g = build_model("espcn")
+    rng = np.random.default_rng(0)
+    x = rng.random((batch, 540, 960, 1), dtype=np.float32)
+    kw = dict(precision=snn.Precision.INT8, batch_size=batch,
+              output_dtype="activation", auto_output_layout=True)
+    eng_cal = snn.Engine.from_graph(g, snn.EngineOptions(**kw, chain_a8="off"))
+    calibrate_activations(eng_cal, [{"input": x}], percentile=None)
+    out = {}
+    outs = {}
+    for mode in ("off", "auto"):
+        eng = snn.Engine.from_graph(g, snn.EngineOptions(**kw, chain_a8=mode))
+        tstats = eng.trace_benchmark({"input": x}, steps=loops)
+        rep = tstats.pop("report")
+        kernels = [o for o in rep.ops
+                   if o.category == "custom-call" or o.name.startswith("forward")]
+        k_us = sum(o.us for o in kernels)
+        tag = "chain_int8" if mode == "auto" else "chain_w8"
+        out[f"{tag}_frames_per_sec"] = round(tstats["frames_per_sec"], 1)
+        out[f"{tag}_kernel_ms"] = round(k_us / 1e3, 4)
+        pcs = getattr(eng.model.forward, "packed_chain_specs", {})
+        if pcs and k_us:
+            from shadernn_tpu.kernels.chain_packed_pallas import mxu_slot_flops
+
+            slot_flops = batch * sum(
+                mxu_slot_flops(specs, h, w) for specs, h, w in pcs.values()
+            )
+            bound_ms = slot_flops / PEAK_FLOPS["bfloat16"] * 1e3
+            out[f"{tag}_bound_ms"] = round(bound_ms, 4)
+            out[f"{tag}_pct_of_bound"] = round(100 * bound_ms / (k_us / 1e3), 1)
+            if mode == "auto":
+                out["chain_int8_layers"] = sum(
+                    1 for specs, _h, _w in pcs.values()
+                    for s in specs if s.in_q > 0
+                )
+        outs[mode] = np.asarray(
+            jax.device_get(eng.model.run_single(x)), np.float32
+        )
+    out["chain_int8_max_abs_diff_vs_w8"] = round(
+        float(np.max(np.abs(outs["auto"] - outs["off"]))), 5
+    )
+    log(f"chain int8 A/B: {out}")
+    return out
+
+
 def _stream_bench(batch: int, log, seconds: float = 3.0) -> dict:
     """Continuous-batched YOLOv3-tiny video stream (BASELINE configs[4]):
     full-model frames through StreamingEngine -> on-device decode+NMS.
@@ -645,10 +703,12 @@ def main():
                 log(f"{name}: FAILED {type(e).__name__}: {e}")
                 zoo[name] = {"error": f"{type(e).__name__}: {e}"}
         # BASELINE configs[1]: StyleTransfer at 512x512 (the zoo row above
-        # is the reference's 224 config; the baseline names 512).
+        # is the reference's 224 config; the baseline names 512). The
+        # candy variant loads the TRAINED 512^2 per-style artifact when
+        # present (models/zoo.py), so this row runs real weights.
         try:
             sstats = bench_model(
-                "styletransfer", args.precision, args.batch,
+                "styletransfer-candy", args.precision, args.batch,
                 args.inner_loops, log, args.backend, args.protocol,
                 h=512, w=512)
             zoo["styletransfer_512"] = {
@@ -706,6 +766,10 @@ def main():
             )
         except Exception as e:
             log(f"resnet18 a8w8 FAILED {type(e).__name__}: {e}")
+        try:
+            extra.update(_chain_int8_bench(args.batch, args.inner_loops, log))
+        except Exception as e:
+            log(f"chain int8 A/B FAILED {type(e).__name__}: {e}")
         try:
             extra.update(_stream_bench(args.batch, log))
         except Exception as e:

@@ -108,6 +108,12 @@ class EngineOptions:
     # one (kernels/chain_pallas.py) is VPU-store-bound and kept for
     # mid-graph chains and as an A/B baseline.
     chain_format: str = "auto"
+    # Int8 ACTIVATIONS inside the packed chain kernel (a8): "auto" engages
+    # per-layer int8 x int8 dots under an INT8 engine wherever the layer's
+    # input range is statically boundable (chain_packed_pallas.
+    # build_chain_packed a8 docstring); "off" keeps the chain's dots in
+    # the activation dtype (weight-only int8) — the A/B baseline.
+    chain_a8: str = "auto"
     # Fold BatchNorm into preceding conv weights at load (the reference
     # fuses BN into the conv shader epilogue: conv2dGL.cpp:666-747).
     fold_batchnorm: bool = True

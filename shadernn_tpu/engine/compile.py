@@ -380,6 +380,10 @@ def build_forward(
                         act_override=act_override,
                         width=graph.nodes[node.inputs[0]].out_spec.w,
                         tail=tail,
+                        a8=(
+                            options.chain_a8 != "off"
+                            and options.precision == Precision.INT8
+                        ),
                     )
                     if built_p is None and options.chain_format == "packed":
                         log.warning(

@@ -79,18 +79,46 @@ class InvResSpec:
     # throughput); the dequant folds into the existing epilogue scale.
     ax1: float = 0.0  # block-input scale (expand matmul)
     ax2: float = 0.0  # depthwise-output scale (project matmul)
+    # Padded-pitch layout (VERDICT r4 #5, the row-chunked-dw lever): pixels
+    # live at ((bi*(h+2) + r + 1)*wp + 1 + c) with wp = round_up(w+2, 8)
+    # and ZERO guard rows/columns. The 9 dw taps then read offsets
+    # (dy-1)*wp + (dx-1): the row component is sublane-ALIGNED (wp % 8
+    # == 0, vs the flat layout's arbitrary +-w+-1 shifts) and no border
+    # masks are needed at all — out-of-image taps read exact zeros. The
+    # price is M inflation ((h+2)/h * wp/w) on both matmuls, so the
+    # planner enables it only where the dw overhead dominates (large
+    # spatial, narrow E), not on the MXU-bound 7x7/E>=960 blocks.
+    padded: bool = False
+
+    @property
+    def wp(self) -> int:  # padded row pitch (sublane-aligned)
+        return _round_up(self.w + 2, 8)
+
+    @property
+    def hp(self) -> int:  # padded rows per image (one guard row each side)
+        return self.h + 2
+
+    def p_tile(self) -> int:  # pixels per grid step in the kernel layout
+        if self.padded:
+            return self.b_tile * self.hp * self.wp
+        return self.b_tile * self.h * self.w
 
 
 def invres_vmem_bytes(spec: InvResSpec, b: int, itemsize: int) -> int:
     """VMEM footprint estimate (lane-padded) for b images per step."""
-    p = b * spec.h * spec.w
+    if spec.padded:
+        p = b * spec.hp * spec.wp
+        guard = 2 * (spec.wp + 1)
+    else:
+        p = b * spec.h * spec.w
+        guard = 2 * (spec.w + 1)
 
     def arr(rows, ch, isz):
         return _round_up(rows, 8) * _round_up(ch, 128) * isz
 
     x_io = 2 * arr(p, spec.cin, itemsize)  # double-buffered input blocks
     y_io = 2 * arr(p, spec.cout, itemsize)
-    epad = arr(p + 2 * (spec.w + 1), spec.e, itemsize)
+    epad = arr(p + guard, spec.e, itemsize)
     acc = arr(p, spec.e, 4)  # f32 dw accumulator
     proj = arr(p, spec.cout, 4)
     return x_io + y_io + epad + acc + proj
@@ -101,11 +129,12 @@ def plan_b_tile(spec: InvResSpec, n: int, itemsize: int,
     """Largest images-per-grid-step under the VMEM budget. Mosaic needs the
     sublane block dim divisible by 8 unless the block covers the whole
     array (b == n). Returns 0 if nothing fits."""
+    per_img = spec.hp * spec.wp if spec.padded else spec.h * spec.w
     b_tile = 0
     for b in range(1, n + 1):
         if n % b:
             continue
-        if b != n and (b * spec.h * spec.w) % 8 != 0:
+        if b != n and (b * per_img) % 8 != 0:
             continue
         if invres_vmem_bytes(spec, b, itemsize) <= vmem_budget:
             b_tile = b
@@ -130,8 +159,11 @@ def _invres_kernel(
     compute_dtype,
 ):
     h, w = spec.h, spec.w
-    p = spec.b_tile * h * w
-    g = w + 1  # guard rows above/below the live window of epad
+    p = spec.p_tile()
+    # margin rows above/below the live window of epad keep every tap
+    # slice in-bounds; reads landing there only feed guard output
+    # positions, which the caller slices away
+    g = (spec.wp + 1) if spec.padded else (w + 1)
 
     x = x_ref[...]  # (P, Cin)
 
@@ -139,6 +171,20 @@ def _invres_kernel(
         return jnp.clip(
             jnp.round(v.astype(jnp.float32) * (1.0 / scale)), -127, 127
         ).astype(jnp.int8)
+
+    guard_mask = None
+    if spec.padded:
+        # 0/1 guard multiplier: 1 iff the pixel is a live image pixel.
+        # Applied ONCE per matmul epilogue — replaces the flat layout's
+        # per-tap border selects (8 of them), and keeps the scratch's
+        # guard rows/cols exact zeros so the taps need no masking.
+        wp, hp = spec.wp, spec.hp
+        idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        col = jax.lax.rem(idx, wp)
+        row = jax.lax.rem(jax.lax.div(idx, wp), hp)
+        guard_mask = (
+            (col >= 1) & (col <= w) & (row >= 1) & (row <= h)
+        ).astype(jnp.float32)
 
     if spec.has_expand:
         if spec.ax1:
@@ -157,45 +203,67 @@ def _invres_kernel(
             )
         e = e * s1_ref[...] + o1_ref[...]
         e = apply_activation(e, spec.act_expand, spec.alpha)
+        if guard_mask is not None:
+            e = e * guard_mask  # zero the guards (act(offset) otherwise)
         epad_ref[g : g + p, :] = e.astype(compute_dtype)
     else:
         epad_ref[g : g + p, :] = x
 
-    # Per-pixel in-image predicates shared by the 8 shifted taps. 2D iota
-    # (TPU requires >=2D); integer div/mod lower to VPU ops.
-    idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    col = jax.lax.rem(idx, w)
-    row = jax.lax.rem(jax.lax.div(idx, w), h)
-    not_col0 = col != 0  # tap reaches col-1: invalid in image col 0
-    not_colw = col != w - 1  # tap reaches col+1
-    not_row0 = row != 0
-    not_rowh = row != h - 1
+    if spec.padded:
+        # Depthwise 3x3 SAME over the guard-padded pitch: tap (dy, dx)
+        # is the slice shifted by (dy-1)*wp + (dx-1) — row shifts are
+        # sublane-aligned (wp % 8 == 0), column shifts are +-1 sublane
+        # rotates, and NO masks are needed (guards are exact zeros; a
+        # column guard read wraps into the adjacent row's zero guard).
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                off = (dy - 1) * spec.wp + (dx - 1)
+                sl = epad_ref[g + off : g + off + p, :]
+                term = (
+                    sl.astype(jnp.float32)
+                    * wd_ref[3 * dy + dx : 3 * dy + dx + 1, :]
+                )
+                acc = term if acc is None else acc + term
+    else:
+        # Per-pixel in-image predicates shared by the 8 shifted taps. 2D
+        # iota (TPU requires >=2D); integer div/mod lower to VPU ops.
+        idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        col = jax.lax.rem(idx, w)
+        row = jax.lax.rem(jax.lax.div(idx, w), h)
+        not_col0 = col != 0  # tap reaches col-1: invalid in image col 0
+        not_colw = col != w - 1  # tap reaches col+1
+        not_row0 = row != 0
+        not_rowh = row != h - 1
 
-    # Depthwise 3x3 SAME, stride 1: acc[p] = sum_taps e[p + off] * wd[tap],
-    # masked where the tap crosses an image border (guard rows make the
-    # slices in-bounds; masks make them correct across batch boundaries).
-    # The chain accumulates in f32: a bf16-accumulation variant (halving
-    # the streamed temporaries) measured 1.45x SLOWER on-chip — Mosaic's
-    # packed-bf16 elementwise + where-masks cost more than the saved
-    # bandwidth (DEVNOTES r4).
-    acc = None
-    for dy in range(3):
-        for dx in range(3):
-            off = (dy - 1) * w + (dx - 1)
-            sl = epad_ref[g + off : g + off + p, :]
-            m = None
-            if dy == 0:
-                m = not_row0
-            elif dy == 2:
-                m = not_rowh
-            if dx == 0:
-                m = not_col0 if m is None else jnp.logical_and(m, not_col0)
-            elif dx == 2:
-                m = not_colw if m is None else jnp.logical_and(m, not_colw)
-            term = sl.astype(jnp.float32) * wd_ref[3 * dy + dx : 3 * dy + dx + 1, :]
-            if m is not None:
-                term = jnp.where(m, term, 0.0)
-            acc = term if acc is None else acc + term
+        # Depthwise 3x3 SAME, stride 1: acc[p] = sum_taps e[p+off]*wd[tap],
+        # masked where the tap crosses an image border (guard rows make the
+        # slices in-bounds; masks make them correct across batch
+        # boundaries). The chain accumulates in f32: a bf16-accumulation
+        # variant (halving the streamed temporaries) measured 1.45x SLOWER
+        # on-chip — Mosaic's packed-bf16 elementwise + where-masks cost
+        # more than the saved bandwidth (DEVNOTES r4).
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                off = (dy - 1) * w + (dx - 1)
+                sl = epad_ref[g + off : g + off + p, :]
+                m = None
+                if dy == 0:
+                    m = not_row0
+                elif dy == 2:
+                    m = not_rowh
+                if dx == 0:
+                    m = not_col0 if m is None else jnp.logical_and(m, not_col0)
+                elif dx == 2:
+                    m = not_colw if m is None else jnp.logical_and(m, not_colw)
+                term = (
+                    sl.astype(jnp.float32)
+                    * wd_ref[3 * dy + dx : 3 * dy + dx + 1, :]
+                )
+                if m is not None:
+                    term = jnp.where(m, term, 0.0)
+                acc = term if acc is None else acc + term
 
     d = acc * sd_ref[...] + od_ref[...]
     d = apply_activation(d, spec.act_dw, spec.alpha).astype(compute_dtype)
@@ -244,9 +312,19 @@ def fused_invres_block(
     if b == 0:
         return None
     spec = dataclasses.replace(spec, b_tile=b)
-    p = b * h * w
+    p = spec.p_tile()
 
-    x2d = x_nhwc.reshape(n * h * w, cin)
+    if spec.padded:
+        # Guard-padded pitch (spec.padded docstring): one zero row above/
+        # below, one zero column left, wp-w-1 right. XLA fuses the pad
+        # into a single formatting copy; consecutive same-resolution
+        # fused blocks could pass this layout through untouched.
+        xp = jnp.pad(
+            x_nhwc, ((0, 0), (1, 1), (1, spec.wp - w - 1), (0, 0))
+        )
+        x2d = xp.reshape(n * spec.hp * spec.wp, cin)
+    else:
+        x2d = x_nhwc.reshape(n * h * w, cin)
 
     def vec(v, width):
         return jnp.asarray(v, jnp.float32).reshape(1, width)
@@ -278,26 +356,31 @@ def fused_invres_block(
         _invres_kernel, spec=spec, compute_dtype=compute_dtype
     )
     flops = 2 * n * h * w * (spec.cin * spec.e + 9 * spec.e + spec.e * spec.cout)
+    rows_total = x2d.shape[0]
+    margin = 2 * ((spec.wp + 1) if spec.padded else (w + 1))
     out = pl.pallas_call(
         kernel,
         grid=(n // b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((p, spec.cout), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n * h * w, spec.cout), compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((rows_total, spec.cout), compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((p + 2 * (w + 1), spec.e), compute_dtype),
+            pltpu.VMEM((p + margin, spec.e), compute_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(n * h * w * (cin + spec.cout) + spec.e * (cin + spec.cout))
+            bytes_accessed=(rows_total * (cin + spec.cout) + spec.e * (cin + spec.cout))
             * x2d.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(*operands)
+    if spec.padded:
+        out = out.reshape(n, spec.hp, spec.wp, spec.cout)
+        return out[:, 1 : 1 + h, 1 : 1 + w, :]
     return out.reshape(n, h, w, spec.cout)
 
 
@@ -330,7 +413,8 @@ def invres_floor_us(spec: InvResSpec, n: int, itemsize: int,
     """
     b = plan_b_tile(spec, n, itemsize) or 1  # the tile the kernel RUNS at
     steps = max(n // b, 1)
-    p = b * spec.h * spec.w
+    spec = dataclasses.replace(spec, b_tile=b)
+    p = spec.p_tile()  # padded layout inflates M on both matmuls
     pp = _round_up(p, 8)
     kp1 = _round_up(spec.cin, 128)
     ep = _round_up(spec.e, 128)
@@ -339,8 +423,12 @@ def invres_floor_us(spec: InvResSpec, n: int, itemsize: int,
     if spec.has_expand:
         mxu_flops += 2 * pp * kp1 * ep / (2.0 if spec.ax1 else 1.0)
     mxu_flops += 2 * pp * ep * coutp / (2.0 if spec.ax2 else 1.0)
-    # 9 taps x (mul + add) + 8 border-selects ~ 26 ops per pixel-channel
-    vpu_ops = (9 * 2 + 8) * pp * ep
+    if spec.padded:
+        # 9 taps x (mul + add) + 2 guard-mask multiplies, no border selects
+        vpu_ops = (9 * 2 + 2) * pp * ep
+    else:
+        # 9 taps x (mul + add) + 8 border-selects ~ 26 ops/pixel-channel
+        vpu_ops = (9 * 2 + 8) * pp * ep
     act_bytes = (p * spec.cin + p * spec.cout) * itemsize
     w_bytes = (
         spec.cin * spec.e + 9 * spec.e + spec.e * spec.cout
@@ -424,6 +512,11 @@ def build_invres(views, in_spec, act_dtype, batch: int,
                  else project.attr("activation", "linear")),
         alpha=float(dw.attr("leaky_alpha", 0.3)),
         ax1=ax1, ax2=ax2,
+        # Padded-pitch where the dw stage dominates the kernel (28x28 and
+        # 14x14 blocks, E <= 576 — measured 2.4-4.7x per-kernel on v5e,
+        # DEVNOTES r5); the 7x7/E>=960 blocks are MXU-bound AT their
+        # floor, where the layout's M inflation would only add slots.
+        padded=(e_ch <= 576),
     )
 
     if plan_b_tile(spec, batch, jnp.dtype(act_dtype).itemsize, vmem_budget) == 0:

@@ -85,6 +85,16 @@ class PackedLayerSpec:
     alpha: float
     r: int  # output rows per dot (M = r*8*o)
     qxp: int  # padded qx slots of this layer's INPUT scratch
+    # A8 mode (VERDICT r4 #3): dequant scale of this layer's int8 INPUT
+    # (x ~ x_q * in_q). 0.0 = the input slab stays in the compute dtype.
+    # When in_q > 0 the layer's dot runs int8 x int8 -> int32 on the MXU's
+    # double-rate path, and the PREVIOUS layer's epilogue quantizes into
+    # this layer's scratch (store multiplier 1/in_q, symmetric +/-127).
+    in_q: float = 0.0
+
+
+def _in_dtype(spec: PackedLayerSpec, compute_dtype):
+    return jnp.int8 if spec.in_q > 0.0 else compute_dtype
 
 
 def _plan_rows(specs: Sequence[PackedLayerSpec], th: int):
@@ -100,7 +110,8 @@ def _plan_rows(specs: Sequence[PackedLayerSpec], th: int):
 
 def _qx_pad(kw: int, c: int, dtype) -> int:
     """Smallest qxp >= 8+kw-1 with qxp*c a multiple of the sublane tile."""
-    tile = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+    dt = jnp.dtype(dtype)
+    tile = 32 if dt == jnp.int8 else (16 if dt == jnp.bfloat16 else 8)
     q = P + kw - 1
     while (q * c) % tile:
         q += 1
@@ -158,14 +169,16 @@ def _packed_kernel(
         used0 = (P + s0spec.kw - 1) * s0spec.c
         if used0 < s0spec.qxp * s0spec.c:
             s0[:, used0:, :] = jnp.zeros(
-                (rows0, s0spec.qxp * s0spec.c - used0, gp), compute_dtype
+                (rows0, s0spec.qxp * s0spec.c - used0, gp),
+                _in_dtype(s0spec, compute_dtype),
             )
         for l in range(nlayers - 1):
             ns = specs[l + 1]
             used = (P + ns.kw - 1) * ns.c
             if used < ns.qxp * ns.c:
                 layer_scratch[l][:, used:, :] = jnp.zeros(
-                    (rows_list[l + 1], ns.qxp * ns.c - used, gp), compute_dtype
+                    (rows_list[l + 1], ns.qxp * ns.c - used, gp),
+                    _in_dtype(ns, compute_dtype),
                 )
 
     @pl.when(i + 1 < n_h_tiles)
@@ -183,7 +196,7 @@ def _packed_kernel(
     c0, pl0 = sp0.c, sp0.pl
     ph_all = xs[slot]  # (rows0, 8*c0, Gp)
     s0[:, pl0 * c0 : (pl0 + P) * c0] = ph_all
-    z0r = jnp.zeros((rows0, c0, 1), compute_dtype)
+    z0r = jnp.zeros((rows0, c0, 1), _in_dtype(sp0, compute_dtype))
     for qx in range(pl0):
         b = qx - pl0 + P
         s0[:, qx * c0 : (qx + 1) * c0, 1:] = ph_all[
@@ -200,8 +213,11 @@ def _packed_kernel(
     gid = jax.lax.broadcasted_iota(jnp.int32, (1, gp), 1)
 
     for l, spec in enumerate(specs):
+        int8_dot = spec.in_q > 0.0
         wmat = w_refs[l][...]
-        if wmat.dtype != compute_dtype:
+        if int8_dot:
+            assert wmat.dtype == jnp.int8  # build_chain_packed guarantees
+        elif wmat.dtype != compute_dtype:
             wmat = wmat.astype(compute_dtype)
         scale = scale_refs[l][...]  # (M, 1) f32, o-minor (rr, px, o) order
         offset = offset_refs[l][...]
@@ -237,13 +253,24 @@ def _packed_kernel(
             else:
                 slab = layer_scratch[l - 1][j0 : j0 + rows_patch]
             patch = slab.reshape(kdim, gp)
-            acc = jax.lax.dot_general(
-                wmat,
-                patch,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_mxu_precision(compute_dtype),
-            )  # (M, Gp) f32
+            if int8_dot:
+                # int8 x int8 -> int32 at the MXU's double rate; the
+                # input dequant scale in_q is folded into `scale` by
+                # build_chain_packed, so the f32 epilogue is unchanged.
+                acc = jax.lax.dot_general(
+                    wmat,
+                    patch,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+            else:
+                acc = jax.lax.dot_general(
+                    wmat,
+                    patch,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu_precision(compute_dtype),
+                )  # (M, Gp) f32
             y = acc * scale + offset
             y = apply_activation(y, spec.activation, spec.alpha)
             # margins must be EXACT zeros (they are the next conv's padding).
@@ -302,8 +329,15 @@ def _packed_kernel(
             else:
                 nspec = specs[l + 1]
                 npl, nkw, nc = nspec.pl, nspec.kw, nspec.c  # nc == o
-                yc = y.astype(compute_dtype)
-                zcol = jnp.zeros((nc, 1), compute_dtype)
+                if nspec.in_q > 0.0:
+                    # quantize into the next layer's int8 slab (symmetric,
+                    # zero-point 0: margin zeros stay exact padding)
+                    yc = jnp.clip(
+                        jnp.round(y * (1.0 / nspec.in_q)), -127.0, 127.0
+                    ).astype(jnp.int8)
+                else:
+                    yc = y.astype(compute_dtype)
+                zcol = jnp.zeros((nc, 1), _in_dtype(nspec, compute_dtype))
                 for rr in range(r):
                     blk = yc[rr * P * o : (rr + 1) * P * o]  # (8*o, Gp)
                     row = j0 + rr
@@ -328,7 +362,8 @@ def _packed_kernel(
                         ] = zcol
 
 
-def pack_input(x, compute_dtype, tp: int = MH, mb: int = MB, ib: int = 1):
+def pack_input(x, compute_dtype, tp: int = MH, mb: int = MB, ib: int = 1,
+               quant_scale: float = 0.0):
     """XLA pre-pack: NHWC (N,H,W,C) -> phase layout
     (N/ib, tp+H+mb, 8*C, ib*Gp) where sublane (b, c) of lane t*Gp+g holds
     image (block*ib + t)'s column 8*(g-1)+b. ONE reshape+transpose (a
@@ -341,12 +376,22 @@ def pack_input(x, compute_dtype, tp: int = MH, mb: int = MB, ib: int = 1):
     ib: images packed side by side in lanes — the dots then run at
     N = ib*Gp, amortizing per-dot MXU sequencing overhead (cross-image
     lane-shift leakage is safe: every image's group 0 and dead tail
-    groups are exact zeros). Returns (packed, Gp-per-image)."""
+    groups are exact zeros). Returns (packed, Gp-per-image).
+    quant_scale: when > 0, the pack quantizes the frame to int8 with this
+    DEQUANT scale (x ~ x_q * quant_scale) inside the same pad+transpose
+    pass — the a8 chain's zero-extra-pass input quantization."""
     n, h, w, c = x.shape
     gp = _round_up(GL + -(-w // P) + 1, 128)
     assert n % ib == 0
+    if quant_scale > 0.0:
+        xc = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (1.0 / quant_scale)),
+            -127.0, 127.0,
+        ).astype(jnp.int8)
+    else:
+        xc = x.astype(compute_dtype)
     xw = jnp.pad(
-        x.astype(compute_dtype),
+        xc,
         ((0, 0), (tp, mb), (P * GL, P * gp - P * GL - w), (0, 0)),
     )  # (N, Hp, 8*Gp, C)
     hp = xw.shape[1]
@@ -407,20 +452,34 @@ def fused_conv_chain_packed(
     # Pack ib images side by side in lanes: the dots run at N = ib*Gp,
     # amortizing per-dot MXU sequencing (measured: the bare dot+store
     # floor sat 17% above the slot bound at N = 128). Capped by VMEM.
+    # The estimate counts scratch slabs + output block + weight/scale
+    # operands (ADVICE r4: scratch-only estimates could pass the gate and
+    # then fail Mosaic VMEM allocation at compile time).
     gpi_probe = _round_up(GL + -(-wdim // P) + 1, 128)
+    itemsz = [jnp.dtype(_in_dtype(s, compute_dtype)).itemsize for s in specs]
     scratch_per_img = sum(
-        rows_list[l + 1] * specs[l + 1].qxp * specs[l + 1].c
+        rows_list[l + 1] * specs[l + 1].qxp * specs[l + 1].c * itemsz[l + 1]
         for l in range(nlayers - 1)
-    ) + 3 * rows_list[0] * max(P, specs[0].qxp) * cin
+    ) + 3 * rows_list[0] * max(P, specs[0].qxp) * cin * itemsz[0]
+    out_sub = 2 * P if tail == "d2s2" else P * (1 if tail == "c1" else o_last)
+    out_bytes_per_img = th * out_sub * (
+        4 if tail == "d2s2" else jnp.dtype(compute_dtype).itemsize
+    )
+    fixed_bytes = sum(
+        int(np.prod(p["wmat"].shape)) * jnp.dtype(p["wmat"].dtype).itemsize
+        + 2 * s.r * P * s.o * 4  # (M,1) f32 scale + offset
+        for p, s in zip(layer_params, specs)
+    )
     ib = 1
     for cand in (4, 2):
         if n % cand == 0 and (
-            scratch_per_img * gpi_probe * cand
-            * jnp.dtype(compute_dtype).itemsize < 80 * 1024 * 1024
+            (scratch_per_img + out_bytes_per_img) * gpi_probe * cand
+            + fixed_bytes < 80 * 1024 * 1024
         ):
             ib = cand
             break
-    xq, gpi = pack_input(x, compute_dtype, tp=tp, mb=max(mb, 0), ib=ib)
+    xq, gpi = pack_input(x, compute_dtype, tp=tp, mb=max(mb, 0), ib=ib,
+                         quant_scale=specs[0].in_q)
     gp = ib * gpi  # total lanes seen by the kernel
     nb = n // ib
     hp_in = xq.shape[1]
@@ -462,14 +521,18 @@ def fused_conv_chain_packed(
                 operands.append(
                     jnp.tile(vec, s.r * P).reshape(-1, 1).astype(jnp.float32))
 
+    in_dt0 = _in_dtype(specs[0], compute_dtype)
     scratches = [
-        pltpu.VMEM((2, rows_list[0], P * cin, gp), compute_dtype),
-        pltpu.VMEM((rows_list[0], specs[0].qxp * cin, gp), compute_dtype),
+        pltpu.VMEM((2, rows_list[0], P * cin, gp), in_dt0),
+        pltpu.VMEM((rows_list[0], specs[0].qxp * cin, gp), in_dt0),
     ]
     for l in range(nlayers - 1):
         ns = specs[l + 1]
         scratches.append(
-            pltpu.VMEM((rows_list[l + 1], ns.qxp * ns.c, gp), compute_dtype)
+            pltpu.VMEM(
+                (rows_list[l + 1], ns.qxp * ns.c, gp),
+                _in_dtype(ns, compute_dtype),
+            )
         )
     scratches.append(pltpu.SemaphoreType.DMA((2,)))
 
@@ -530,14 +593,17 @@ def fused_conv_chain_packed(
 
 
 def mxu_slot_flops(specs: Sequence[PackedLayerSpec], h: int, w: int,
-                   th: int = TH) -> int:
-    """Padded MXU slots (in FLOPs) per image: the kernel's binding bound.
-    Counts every K x M x N slot the dots issue, including weight-matrix
-    zeros and halo/margin recompute rows — bench.py prints achieved vs
-    this bound (see module docstring). th must match the tile height the
-    kernel ran with (fused_conv_chain_packed default)."""
+                   th: int = TH) -> float:
+    """Padded MXU slots (in bf16-equivalent FLOPs) per image: the kernel's
+    binding bound. Counts every K x M x N slot the dots issue, including
+    weight-matrix zeros and halo/margin recompute rows — bench.py prints
+    achieved vs this bound (see module docstring). Layers whose dot runs
+    int8 x int8 (spec.in_q > 0) issue slots at DOUBLE the MXU rate, so
+    their slots count at half weight against the bf16 peak the bench
+    divides by. th must match the tile height the kernel ran with
+    (fused_conv_chain_packed default)."""
     gp = _round_up(GL + -(-w // P) + 1, 128)
-    total = 0
+    total = 0.0
     a_off, rows_list = _plan_rows(specs, th)
     n_h_tiles = -(-h // th)  # h here = final out rows
     for l, s in enumerate(specs):
@@ -545,7 +611,8 @@ def mxu_slot_flops(specs: Sequence[PackedLayerSpec], h: int, w: int,
         n_dots = -(-out_rows // s.r)
         k = (s.kh + s.r - 1) * s.qxp * s.c
         m = s.r * P * s.o
-        total += n_h_tiles * n_dots * 2 * k * m * gp
+        rate = 0.5 if s.in_q > 0.0 else 1.0
+        total += n_h_tiles * n_dots * 2 * k * m * gp * rate
     return total
 
 
@@ -555,10 +622,21 @@ def build_chain_packed(
     th: int = TH,
     width: Optional[int] = None,
     tail: str = "none",
+    a8: bool = False,
 ) -> Optional[Tuple[list, list]]:
     """Build (layer_params, specs) for a stride-1 conv run in packed
     format, or None if unsupported (caller falls back to the im2col
-    chain kernel)."""
+    chain kernel).
+
+    a8 (VERDICT r4 #3): best-effort int8 ACTIVATIONS per layer — a layer's
+    dot runs int8 x int8 when (a) its weights are already int8
+    (engine INT8 precision), (b) its input range is statically boundable
+    (previous activation tanh/sigmoid/relu6, a calibrated in_act_scale
+    attr, or the [0,1] model frame for the chain head), and (c) its input
+    channel count keeps the int8 margin stores at physical-row granularity
+    (c % 8 == 0). Unsupported layers silently stay on the bf16 dot, so a8
+    never changes which chains compile — only how their hot dots issue.
+    """
     from shadernn_tpu.ops.common import padding_offsets
     from shadernn_tpu.ops.conv import epilogue_scale_offset
 
@@ -595,6 +673,32 @@ def build_chain_packed(
         ))
         raw.append((w, scale, offset))
         c = o
+    if a8:
+        for l, s in enumerate(specs):
+            if raw[l][0].dtype != jnp.int8 or s.c % 8:
+                continue
+            if l == 0:
+                # the chain head eats the raw model frame: calibrated
+                # scale if present, else the normalized-image [0,1] range
+                # (the reference zoo's inputRange for these models)
+                q = float(nodes[0].attr("in_act_scale", 0.0) or 0.0) \
+                    or (1.0 / 127.0)
+            else:
+                prev_act = specs[l - 1].activation
+                if prev_act in ("tanh", "sigmoid"):
+                    q = 1.0 / 127.0  # codomain bound: |y| <= 1
+                elif prev_act == "relu6":
+                    q = 6.0 / 127.0
+                else:
+                    q = float(nodes[l].attr("in_act_scale", 0.0) or 0.0)
+                if q <= 0.0:
+                    continue
+            w_l, scale_l, offset_l = raw[l]
+            specs[l] = dataclasses.replace(
+                specs[l], in_q=q, qxp=_qx_pad(s.kw, s.c, jnp.int8)
+            )
+            # fold the input dequant into the f32 epilogue scale
+            raw[l] = (w_l, scale_l * q, offset_l)
     # geometry + VMEM gates. Top/bottom input pads are computed exactly
     # from the chain's own offsets (fused_conv_chain_packed), so the only
     # geometry cap is keeping the vertical halo small vs the tile.
@@ -606,11 +710,15 @@ def build_chain_packed(
     # phase input, all gp lanes wide (gp known once the caller passes the
     # image width; 1024 = the 8k-wide worst case otherwise)
     gp = (_round_up(GL + -(-width // P) + 1, 128) if width else 1024)
-    bytes_needed = 2 * rows[0] * P * specs[0].c * dt.itemsize
-    bytes_needed += rows[0] * specs[0].qxp * specs[0].c * dt.itemsize
+    sz0 = jnp.dtype(_in_dtype(specs[0], dt)).itemsize
+    bytes_needed = 2 * rows[0] * P * specs[0].c * sz0
+    bytes_needed += rows[0] * specs[0].qxp * specs[0].c * sz0
     for l in range(len(specs) - 1):
         ns = specs[l + 1]
-        bytes_needed += rows[l + 1] * ns.qxp * ns.c * dt.itemsize
+        bytes_needed += (
+            rows[l + 1] * ns.qxp * ns.c
+            * jnp.dtype(_in_dtype(ns, dt)).itemsize
+        )
     if bytes_needed * gp > 80 * 1024 * 1024:
         return None
     for l, s in enumerate(specs):

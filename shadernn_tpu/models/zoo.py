@@ -38,8 +38,6 @@ def list_models():
 def _ensure_loaded():
     if _BUILDERS:
         return
-    import functools
-
     from shadernn_tpu.models import (
         aidenoise, espcn, mobilenetv2, resnet18, spatialdenoise,
         styletransfer, unet, yolov3_tiny,
@@ -60,11 +58,35 @@ def _ensure_loaded():
     # The reference zoo's five fast-neural-style variants
     # (modelzoo/StyleTransfer/{candy,mosaic,pointilism,rain-princess,
     # udnie}-9_simplified.json): one architecture, per-style weights.
-    # Distinct seeds stand in for the per-style weights until a real
-    # artifact is loaded via the parser.
+    # candy/mosaic load REAL per-style weights trained at 512^2
+    # (tools/train_styletransfer.py, gated in
+    # tests/test_accuracy_styletransfer.py); the remaining styles keep
+    # distinct seeds until their artifacts are trained.
+    import os as _os
+
+    _art = _os.path.join(_os.path.dirname(__file__), "artifacts")
+
+    def _style_builder(style: str, seed: int):
+        art_path = _os.path.join(
+            _art, f"styletransfer_{style}512_trained_layers.json"
+        )
+
+        def build(h: int = 224, w: int = 224, **kw):
+            if _os.path.exists(art_path):
+                from shadernn_tpu.graph.parser import parse_model_file
+
+                # fully convolutional: input_hw retargets the 512 artifact
+                # to the requested frame size (trained & gated at 512)
+                return parse_model_file(art_path, input_hw=(h, w))
+            return styletransfer.build_style_transfer(
+                h=h, w=w, style=style, seed=seed, **kw
+            )
+
+        return build
+
     for i, _style in enumerate(
         ("candy", "mosaic", "pointilism", "rain-princess", "udnie")
     ):
-        _BUILDERS[f"styletransfer-{_style}"] = functools.partial(
-            styletransfer.build_style_transfer, style=_style, seed=7767517 + i
+        _BUILDERS[f"styletransfer-{_style}"] = _style_builder(
+            _style, 7767517 + i
         )

@@ -45,26 +45,63 @@ def synth_imgs(rng: np.random.Generator, n: int, s: int = 64) -> np.ndarray:
     return imgs.astype(np.float32)
 
 
-# The fixed "style": a full-rank color mixing matrix + offset, tone
-# compressed through tanh, with Sobel-edge darkening (candy-style dark
-# strokes). Deterministic; doubles as the ground-truth target function.
-_MIX = np.array(
-    [[0.9, 0.4, -0.1], [-0.2, 1.0, 0.3], [0.3, -0.3, 0.9]], np.float32
-)
-_OFF = np.array([0.05, -0.05, 0.1], np.float32)
+# Per-style fixed stylizations (the reference ships candy/mosaic/... as
+# per-style trained weights over ONE architecture): a full-rank color
+# mixing matrix + offset, tone compressed through tanh, Sobel-edge
+# darkening (candy's dark strokes), and for mosaic a soft color
+# posterization (tile-like flat color fields). All components are
+# pointwise or local-edge functions — translation-equivariant, so a CNN
+# can actually fit them (an absolute-position pattern could not be learned
+# by a padding-agnostic conv net). Deterministic; doubles as ground truth.
+STYLES = {
+    "candy": dict(
+        mix=np.array(
+            [[0.9, 0.4, -0.1], [-0.2, 1.0, 0.3], [0.3, -0.3, 0.9]],
+            np.float32,
+        ),
+        off=np.array([0.05, -0.05, 0.1], np.float32),
+        tone=2.5,
+        edge=0.6,
+        posterize=0,
+    ),
+    "mosaic": dict(
+        mix=np.array(
+            [[1.1, -0.2, 0.2], [0.1, 0.8, 0.2], [-0.1, 0.4, 0.8]],
+            np.float32,
+        ),
+        off=np.array([-0.02, 0.08, 0.02], np.float32),
+        tone=3.5,
+        edge=0.35,
+        posterize=5,  # soft-quantized color fields = the tesserae look
+    ),
+}
+
+# Back-compat aliases (the 64^2 candy-equivalent artifact + its gates were
+# built against these module-level names).
+_MIX = STYLES["candy"]["mix"]
+_OFF = STYLES["candy"]["off"]
 
 
-def style_target(x: np.ndarray) -> np.ndarray:
+def style_target(x: np.ndarray, style: str = "candy") -> np.ndarray:
     """x (N,H,W,3) in [0,1] -> stylized target in [0,1]."""
-    y = x @ _MIX.T + _OFF
-    y = 0.5 + 0.5 * np.tanh(2.5 * (y - 0.5))  # painterly tone compression
+    p = STYLES[style]
+    y = x @ p["mix"].T + p["off"]
+    y = 0.5 + 0.5 * np.tanh(p["tone"] * (y - 0.5))  # painterly tone curve
+    if p["posterize"]:
+        # smooth staircase: sum of tanh steps — flat color fields with
+        # soft transitions (fittable by the network, unlike a hard floor)
+        L = p["posterize"]
+        steps = np.zeros_like(y)
+        for k in range(1, L):
+            steps += 0.5 * (1.0 + np.tanh(12.0 * (y - k / L)))
+        y = steps / (L - 1)
     luma = x @ np.array([0.299, 0.587, 0.114], np.float32)
     gx = np.zeros_like(luma)
     gy = np.zeros_like(luma)
     gx[:, :, 1:-1] = luma[:, :, 2:] - luma[:, :, :-2]
     gy[:, 1:-1, :] = luma[:, 2:, :] - luma[:, :-2, :]
     edges = np.minimum(np.sqrt(gx**2 + gy**2) * 2.5, 1.0)
-    y = y * (1.0 - 0.6 * edges[..., None])
+    y = y * (1.0 - p["edge"] * edges[..., None])
     return np.clip(y, 0, 1).astype(np.float32)
 
 
@@ -84,12 +121,13 @@ def build_trainable(batch: int, hw: int = 64):
     return graph, m
 
 
-def train(steps: int = 400, batch: int = 32, seed: int = 0, log=print):
+def train(steps: int = 400, batch: int = 32, seed: int = 0, log=print,
+          hw: int = 64, style: str = "candy"):
     import jax
     import jax.numpy as jnp
     import optax
 
-    graph, m = build_trainable(batch)
+    graph, m = build_trainable(batch, hw=hw)
     (in_name,) = graph.input_names
     out_name = graph.output_names[0]
     fwd = m.forward
@@ -113,15 +151,16 @@ def train(steps: int = 400, batch: int = 32, seed: int = 0, log=print):
 
     rng = np.random.default_rng(seed)
     for it in range(steps):
-        x = synth_imgs(rng, batch)
-        t = style_target(x)
+        x = synth_imgs(rng, batch, s=hw)
+        t = style_target(x, style=style)
         params, opt, l = step(params, opt, jnp.asarray(x), jnp.asarray(t))
         if it % 25 == 0 or it == steps - 1:
             log(f"step {it}: mse {float(l):.5f}")
     return graph, m, params
 
 
-def evaluate(graph, m, params, n=64, seed=777, batch=32):
+def evaluate(graph, m, params, n=64, seed=777, batch=32, hw: int = 64,
+             style: str = "candy"):
     """Held-out PSNR of (network output vs style target), and of the
     identity mapping (input vs target) as the must-beat floor."""
     import jax.numpy as jnp
@@ -133,28 +172,29 @@ def evaluate(graph, m, params, n=64, seed=777, batch=32):
     rng = np.random.default_rng(seed)
     net_db, id_db = [], []
     for _ in range(max(n // batch, 1)):
-        x = synth_imgs(rng, batch)
-        t = style_target(x)
+        x = synth_imgs(rng, batch, s=hw)
+        t = style_target(x, style=style)
         y = np.asarray(m.forward(params, {in_name: jnp.asarray(x)})[out_name])
         net_db.append(psnr(np.clip(y, 0, 1), t))
         id_db.append(psnr(x, t))
     return float(np.mean(net_db)), float(np.mean(id_db))
 
 
-def export(graph, params, out_dir: str, hw: int = 224, log=print):
+def export(graph, params, out_dir: str, hw: int = 224, log=print,
+           name: str = "styletransfer_trained"):
     from shadernn_tpu.graph.serialize import save_model
     from shadernn_tpu.models import build_model
 
-    # re-build at the zoo input size (fully convolutional + instance norm:
-    # weights are resolution-independent) and inject the trained weights
-    g224 = build_model("styletransfer", h=hw, w=hw)
-    for name, d in params.items():
-        node = g224.nodes[name]
+    # re-build at the serving input size (fully convolutional + instance
+    # norm: weights are resolution-independent) and inject trained weights
+    g_out = build_model("styletransfer", h=hw, w=hw)
+    for pname, d in params.items():
+        node = g_out.nodes[pname]
         for k, v in d.items():
             node.params[k] = np.asarray(v)
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "styletransfer_trained.json")
-    save_model(g224, path, decouple=True)
+    path = os.path.join(out_dir, f"{name}.json")
+    save_model(g_out, path, decouple=True)
     log(f"saved {path} (+ _layers.json/_weights.bin)")
     return path
 
@@ -164,14 +204,39 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--out", default=ARTIFACT_DIR)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--style", default="candy", choices=sorted(STYLES))
+    ap.add_argument("--hw", type=int, default=64,
+                    help="TRAIN and GATE resolution; VERDICT r4 #2: the "
+                    "learned mapping does not transfer across scales "
+                    "(instance-norm statistics are content-scale "
+                    "dependent), so train AT the serving resolution")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--export-hw", type=int, default=None,
+                    help="artifact input size (default: same as --hw)")
+    ap.add_argument("--name", default=None,
+                    help="artifact base name (default: "
+                    "styletransfer_trained for candy@64, else "
+                    "styletransfer_<style><hw>_trained)")
     args = ap.parse_args()
     import jax
 
     jax.config.update("jax_platforms", args.platform)
-    graph, m, params = train(args.steps)
-    net_db, id_db = evaluate(graph, m, params)
-    print(f"held-out PSNR vs target: net {net_db:.2f} dB, identity {id_db:.2f} dB")
-    export(graph, params, args.out)
+    graph, m, params = train(args.steps, batch=args.batch, hw=args.hw,
+                             style=args.style)
+    net_db, id_db = evaluate(graph, m, params, batch=args.batch, hw=args.hw,
+                             style=args.style)
+    print(f"held-out PSNR vs target ({args.style}@{args.hw}): "
+          f"net {net_db:.2f} dB, identity {id_db:.2f} dB")
+    name = args.name or (
+        "styletransfer_trained" if (args.style, args.hw) == ("candy", 64)
+        else f"styletransfer_{args.style}{args.hw}_trained"
+    )
+    # the legacy candy@64 artifact ships at the 224 zoo config shape; the
+    # per-style serving artifacts ship at their train/gate resolution
+    export_hw = args.export_hw or (
+        224 if name == "styletransfer_trained" else args.hw
+    )
+    export(graph, params, args.out, hw=export_hw, name=name)
 
 
 if __name__ == "__main__":

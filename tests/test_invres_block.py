@@ -206,3 +206,47 @@ def test_chain_c_pad_follows_activation_dtype():
         ct = _c_tile(jnp.dtype(dtype))
         assert specs[0].c_pad % ct == 0 and specs[0].c_pad == max(ct, 4)
         assert all(s.o_pad % ct == 0 for s in specs), (dtype, specs)
+
+
+@pytest.mark.parametrize(
+    "n,h,w,cin,e,cout,has_expand,residual",
+    [
+        (1, 14, 14, 32, 192, 32, True, True),
+        (2, 14, 14, 32, 192, 32, True, True),   # multi-image guards
+        (4, 7, 7, 48, 288, 48, True, True),     # wp jumps 7 -> 16
+        (1, 12, 12, 32, 32, 16, False, False),  # t=1 path stores x padded
+        (2, 16, 16, 24, 144, 40, True, False),
+    ],
+)
+def test_kernel_vs_oracle_padded(n, h, w, cin, e, cout, has_expand, residual):
+    """Padded-pitch layout (VERDICT r4 #5): zero guards replace border
+    masks; must match the same oracle exactly."""
+    import dataclasses
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(n, h, w, cin).astype(np.float32)
+    w1 = (rng.randn(cin, e) * 0.2).astype(np.float32) if has_expand else None
+    wd = (rng.randn(9, e if has_expand else cin) * 0.2).astype(np.float32)
+    w2 = (rng.randn(e if has_expand else cin, cout) * 0.2).astype(np.float32)
+    e_ch = e if has_expand else cin
+
+    spec = InvResSpec(
+        h=h, w=w, cin=cin, e=e_ch, cout=cout, has_expand=has_expand,
+        residual=residual, act_expand="relu6" if has_expand else "linear",
+        act_dw="relu6", act_out="linear", padded=True,
+    )
+    got = fused_invres_block(
+        jnp.asarray(x),
+        None if w1 is None else jnp.asarray(w1),
+        None if w1 is None else jnp.ones(e_ch),
+        None if w1 is None else jnp.zeros(e_ch),
+        jnp.asarray(wd), jnp.ones(e_ch), jnp.zeros(e_ch),
+        jnp.asarray(w2), jnp.ones(cout), jnp.zeros(cout),
+        spec, interpret=True,
+    )
+    assert got is not None
+    want = _oracle(jnp.asarray(x),
+                   None if w1 is None else jnp.asarray(w1),
+                   jnp.asarray(wd), jnp.asarray(w2), residual)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
