@@ -149,6 +149,112 @@ def trained_denoiser_section(log=print) -> list:
     return lines
 
 
+def trained_mobilenetv2_section(log=print) -> list:
+    import shadernn_tpu as snn
+    from shadernn_tpu.quant.calibrate import calibrate_activations
+    from shadernn_tpu.tools.train_resnet18 import ARTIFACT_DIR, synth_cls
+
+    art = os.path.join(ARTIFACT_DIR, "mobilenetv2_cls10_trained_layers.json")
+    if not os.path.exists(art):
+        return ["(trained artifact not built — run "
+                "`python -m shadernn_tpu.tools.train_mobilenetv2`)"]
+    rng = np.random.default_rng(424242)
+    x, y = synth_cls(rng, 256)
+
+    def top1(eng):
+        correct = 0
+        for i in range(0, 256, 64):
+            pred = np.asarray(eng.model.run_single(x[i : i + 64]))
+            correct += int((pred.argmax(-1) == y[i : i + 64]).sum())
+        return correct / 256
+
+    lines = ["| precision | held-out top-1 |", "|---|---|"]
+    for prec, label in ((snn.Precision.FP32, "fp32"),
+                        (snn.Precision.BF16, "bf16"),
+                        (snn.Precision.INT8, "int8 (weight-only)")):
+        eng = snn.Engine.from_json(
+            art, snn.EngineOptions(precision=prec, batch_size=64))
+        acc = top1(eng)
+        log(f"trained mobilenetv2 {label}: top-1 {acc:.3f}")
+        lines.append(f"| {label} | {acc:.3f} |")
+    # A8W8: calibrate (stamps act_scale attrs on the graph), rebuild from
+    # the same graph so the scales engage, re-evaluate real top-1
+    opts = snn.EngineOptions(precision=snn.Precision.INT8, batch_size=64)
+    eng = snn.Engine.from_json(art, opts)
+    cal_x, _ = synth_cls(np.random.default_rng(7), 64)
+    calibrate_activations(eng, [{"input": cal_x}], percentile=None)
+    eng_a8 = snn.Engine.from_graph(eng.graph, opts)
+    acc = top1(eng_a8)
+    log(f"trained mobilenetv2 a8w8: top-1 {acc:.3f}")
+    lines.append(f"| int8 A8W8 (calibrated activations) | {acc:.3f} |")
+    return lines
+
+
+def trained_styletransfer_section(log=print) -> list:
+    import shadernn_tpu as snn
+    from shadernn_tpu.tools.train_resnet18 import ARTIFACT_DIR
+    from shadernn_tpu.tools.train_styletransfer import style_target, synth_imgs
+    from shadernn_tpu.utils.metrics import psnr
+
+    lines = ["| artifact | eval | net PSNR vs target (dB) "
+             "| identity baseline (dB) |", "|---|---|---|---|"]
+    rng = np.random.default_rng(99)
+
+    def row(art, label, s, style, n=2):
+        if not os.path.exists(art):
+            lines.append(f"| {label} | — | (artifact not built) | |")
+            return
+        eng = snn.Engine.from_json(
+            art, snn.EngineOptions(batch_size=n), input_hw=(s, s))
+        x = synth_imgs(rng, n, s=s)
+        t = style_target(x, style=style)
+        y = np.clip(np.asarray(eng.model.run_single(x), np.float32), 0, 1)
+        net, ident = psnr(y, t), psnr(x, t)
+        log(f"trained styletransfer {label}: net {net:.2f} id {ident:.2f}")
+        lines.append(f"| {label} | {s}x{s} | {net:.2f} | {ident:.2f} |")
+
+    row(os.path.join(ARTIFACT_DIR, "styletransfer_trained_layers.json"),
+        "candy-equivalent (64-trained)", 64, "candy", n=4)
+    for style in ("candy", "mosaic"):
+        row(os.path.join(
+            ARTIFACT_DIR, f"styletransfer_{style}512_trained_layers.json"),
+            f"{style} (512-trained)", 512, style)
+    return lines
+
+
+def trained_yolo_section(log=print) -> list:
+    import shadernn_tpu as snn
+    from shadernn_tpu.tools.train_resnet18 import ARTIFACT_DIR
+    from shadernn_tpu.tools.train_yolo import NUM_CLASSES, synth_scenes
+    from shadernn_tpu.utils.metrics import mean_average_precision
+
+    art = os.path.join(ARTIFACT_DIR, "yolov3_tiny_trained_layers.json")
+    if not os.path.exists(art):
+        return ["(trained artifact not built — run "
+                "`python -m shadernn_tpu.tools.train_yolo`)"]
+    lines = ["| precision | mAP@0.5 (full pipeline: backbone -> decode -> "
+             "NMS) |", "|---|---|"]
+    rng = np.random.default_rng(424242)
+    batches = []
+    for _ in range(2):
+        batches.append(synth_scenes(rng, 8))
+    for prec, label in ((snn.Precision.FP32, "fp32"),
+                        (snn.Precision.BF16, "bf16")):
+        eng = snn.Engine.from_json(
+            art, snn.EngineOptions(precision=prec, batch_size=8))
+        dets, gts = [], []
+        for x, gt in batches:
+            out = np.asarray(eng.model.run_single(x))
+            for b in range(8):
+                d = out[b]
+                dets.append(d[d[:, 1] > 0])
+                gts.append(gt[b])
+        m = mean_average_precision(dets, gts, NUM_CLASSES)
+        log(f"trained yolo {label}: mAP {m:.3f}")
+        lines.append(f"| {label} | {m:.3f} |")
+    return lines
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
@@ -186,6 +292,34 @@ def main(argv=None):
         "identity baseline (gates in tests/test_accuracy_denoiser.py).",
         "",
         *trained_denoiser_section(),
+        "",
+        "## Trained MobileNetV2 classifier (real weights)",
+        "",
+        "Artifact `models/artifacts/mobilenetv2_cls10_trained*`"
+        " (tools/train_mobilenetv2.py, width 0.5): true held-out top-1 per",
+        "precision, incl. calibrated A8W8 (gates in",
+        "tests/test_accuracy_mobilenetv2.py).",
+        "",
+        *trained_mobilenetv2_section(),
+        "",
+        "## Trained StyleTransfer (real weights)",
+        "",
+        "Per-style artifacts (tools/train_styletransfer.py): output-vs-",
+        "procedural-target PSNR on held-out images; the network must beat",
+        "the identity mapping (gates in tests/test_accuracy_styletransfer",
+        ".py). candy/mosaic are trained AND evaluated at 512x512 (BASELINE",
+        "configs[1]) — the r4 finding: instance-norm statistics are",
+        "content-scale dependent, so training runs at the serving scale.",
+        "",
+        *trained_styletransfer_section(),
+        "",
+        "## Trained YOLOv3-tiny detector (real weights)",
+        "",
+        "Artifact `models/artifacts/yolov3_tiny_trained*`"
+        " (tools/train_yolo.py): true mAP@0.5 through the FULL pipeline",
+        "(backbone -> decode -> NMS; gates in tests/test_accuracy_yolo.py).",
+        "",
+        *trained_yolo_section(),
         "",
         "## Precision deltas across the zoo (seeded weights)",
         "",
