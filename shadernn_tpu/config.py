@@ -132,6 +132,14 @@ class EngineOptions:
     # (streaming/pipeline stages) are layout-agnostic; host fetches relayout
     # during the transfer anyway.
     auto_output_layout: bool = False
+    # Let XLA choose the INPUT frame layouts too: the relayout XLA would
+    # otherwise run on-device (e.g. MobileNetV2's C=3 stem wants the
+    # frame batch-minor — a 57us full-frame copy per b8 step, 13% of the
+    # int8 step) happens during the host->device transfer instead, which
+    # reformats anyway. Only meaningful for host-fed serving; off by
+    # default because device-resident producers would pay a relayout per
+    # submit if their layout differs.
+    auto_input_layout: bool = False
     # Donate input frame buffers to the compiled step (the analog of the
     # reference's zero-copy texture attach, imageTexture.h:31). Off by
     # default because donated buffers cannot be re-submitted (benchmarks

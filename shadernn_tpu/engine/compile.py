@@ -574,6 +574,13 @@ def compile_graph(
         from jax.experimental.layout import Format, Layout
 
         jit_kwargs["out_shardings"] = Format(Layout.AUTO)
+    if options.auto_input_layout:
+        from jax.experimental.layout import Format, Layout
+
+        # AUTO on the frame inputs only; params keep their resident
+        # layout (an AUTO params layout would relayout the whole weight
+        # set on every call whose committed layout disagrees).
+        jit_kwargs["in_shardings"] = (None, Format(Layout.AUTO))
     step = jax.jit(forward, donate_argnums=donate, **jit_kwargs)
     input_specs = {
         n: graph.nodes[n].out_spec.shape for n in graph.input_names

@@ -226,7 +226,14 @@ def fold_stride2_convs(graph: Graph) -> int:
         # kernel. Measured on v5e: aidenoise (4C=4, O=16) 502 -> 718
         # frames/s; but whenever the folded conv stays on XLA the
         # space-to-depth shuffle is pure overhead (MobileNetV2 stem,
-        # 4C=12 O=32: -19%; styletransfer 128-ch downs: -20%).
+        # 4C=12 O=32: -19%; styletransfer 128-ch downs: -20%). Re-measured
+        # r5 for the stem under the trace protocol: the fold trades the
+        # stem's 57 us batch-minor input relayout for 60-95 us of s2d
+        # shuffle copies (XLA), and forcing the folded conv onto the
+        # pallas kernel just moves the relayout behind it (copy.34,
+        # 37 us) — net 0 to -2% both ways. The winning stem fix is
+        # auto_input_layout (EngineOptions), which hands XLA its
+        # preferred input layout at the host->device transfer.
         o = int(node.attr("out_channels"))
         if not (2 <= k2 <= 4 and max(4 * c, o) <= 16):
             continue

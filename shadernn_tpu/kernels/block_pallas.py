@@ -89,6 +89,13 @@ class InvResSpec:
     # planner enables it only where the dw overhead dominates (large
     # spatial, narrow E), not on the MXU-bound 7x7/E>=960 blocks.
     padded: bool = False
+    # Padded-layout refinement: process the dw + project in chunks of
+    # this many pitch rows (0 = whole-plane). Each chunk's 9-tap
+    # accumulator and dw output stay register/VMEM-local instead of
+    # streaming two full (P, E) f32 temporaries through VMEM per stage;
+    # the project dot runs per chunk at M = row_chunk*wp (>= 128 keeps
+    # the MXU's M dim full).
+    row_chunk: int = 0
 
     @property
     def wp(self) -> int:  # padded row pitch (sublane-aligned)
@@ -209,6 +216,47 @@ def _invres_kernel(
     else:
         epad_ref[g : g + p, :] = x
 
+    def _dw_project_store(base: int, ck: int):
+        """Padded-layout dw taps + project + epilogue for pitch rows
+        [base, base+ck), stored straight to out_ref — chunk-local
+        temporaries instead of whole-plane (P, E) f32 streams."""
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                off = (dy - 1) * spec.wp + (dx - 1)
+                sl = epad_ref[g + base + off : g + base + off + ck, :]
+                term = (
+                    sl.astype(jnp.float32)
+                    * wd_ref[3 * dy + dx : 3 * dy + dx + 1, :]
+                )
+                acc = term if acc is None else acc + term
+        d = acc * sd_ref[...] + od_ref[...]
+        d = apply_activation(d, spec.act_dw, spec.alpha).astype(compute_dtype)
+        if spec.ax2:
+            y = jnp.dot(
+                q8(d, spec.ax2), w2_ref[...],
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            y = jnp.dot(
+                d,
+                w2_ref[...].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+                precision=_mxu_precision(compute_dtype),
+            )
+        y = y * s2_ref[...] + o2_ref[...]
+        if spec.residual:
+            y = y + x[base : base + ck].astype(jnp.float32)
+        y = apply_activation(y, spec.act_out, spec.alpha)
+        out_ref[base : base + ck, :] = y.astype(compute_dtype)
+
+    if spec.padded and spec.row_chunk:
+        ck = spec.row_chunk * spec.wp
+        assert p % ck == 0, (p, ck)
+        for t in range(p // ck):
+            _dw_project_store(t * ck, ck)
+        return
+
     if spec.padded:
         # Depthwise 3x3 SAME over the guard-padded pitch: tap (dy, dx)
         # is the slice shifted by (dy-1)*wp + (dx-1) — row shifts are
@@ -312,6 +360,13 @@ def fused_invres_block(
     if b == 0:
         return None
     spec = dataclasses.replace(spec, b_tile=b)
+    if spec.padded and spec.row_chunk:
+        # largest chunk <= requested that divides the tile's pitch rows
+        rows = b * spec.hp
+        rc = min(spec.row_chunk, rows)
+        while rows % rc:
+            rc -= 1
+        spec = dataclasses.replace(spec, row_chunk=rc)
     p = spec.p_tile()
 
     if spec.padded:
@@ -513,9 +568,15 @@ def build_invres(views, in_spec, act_dtype, batch: int,
         alpha=float(dw.attr("leaky_alpha", 0.3)),
         ax1=ax1, ax2=ax2,
         # Padded-pitch where the dw stage dominates the kernel (28x28 and
-        # 14x14 blocks, E <= 576 — measured 2.4-4.7x per-kernel on v5e,
-        # DEVNOTES r5); the 7x7/E>=960 blocks are MXU-bound AT their
-        # floor, where the layout's M inflation would only add slots.
+        # 14x14 blocks, E <= 576); the 7x7/E>=960 blocks are MXU-bound AT
+        # their floor, where the layout's M inflation would only add
+        # slots. Measured r5 (model trace, int8 b8): flat 137.8 us ->
+        # padded whole-plane 111.3 us across the 11 fused kernels; the
+        # row_chunk variants (the r4-parked register-resident lever) were
+        # NEUTRAL on top of the padded layout (rc=8: 115.5, rc=16:
+        # 112.8) — once the border selects and unaligned shifts are
+        # gone, Mosaic's own scheduling already keeps the dw local, so
+        # whole-plane stays the default (DEVNOTES r5).
         padded=(e_ch <= 576),
     )
 

@@ -122,7 +122,8 @@ def build_trainable(batch: int, hw: int = 64):
 
 
 def train(steps: int = 400, batch: int = 32, seed: int = 0, log=print,
-          hw: int = 64, style: str = "candy"):
+          hw: int = 64, style: str = "candy", init_from: str = None,
+          peak_lr: float = 1e-3):
     import jax
     import jax.numpy as jnp
     import optax
@@ -132,13 +133,29 @@ def train(steps: int = 400, batch: int = 32, seed: int = 0, log=print,
     out_name = graph.output_names[0]
     fwd = m.forward
     params = m.params
+    if init_from:
+        # warm-start from an existing artifact (e.g. a sibling style or a
+        # lower-resolution fit): weights are resolution-independent, so
+        # this skips the slow from-scratch climb out of the identity basin
+        from shadernn_tpu.graph.parser import parse_model_file
+
+        src = parse_model_file(init_from)
+        loaded = 0
+        for name, d in params.items():
+            if name in src.nodes:
+                for k in d:
+                    if k in src.nodes[name].params:
+                        d[k] = jnp.asarray(src.nodes[name].params[k],
+                                           jnp.float32)
+                        loaded += 1
+        log(f"warm-start: {loaded} tensors from {init_from}")
 
     def loss_fn(p, x, t):
         y = fwd(p, {in_name: x})[out_name]
         return jnp.mean((y - t) ** 2)
 
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, 1e-3, min(30, steps // 4), steps
+        0.0, peak_lr, min(30, steps // 4), steps
     )
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt = tx.init(params)
@@ -217,12 +234,17 @@ def main():
                     help="artifact base name (default: "
                     "styletransfer_trained for candy@64, else "
                     "styletransfer_<style><hw>_trained)")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start weights from an existing artifact "
+                    "(_layers.json path)")
+    ap.add_argument("--peak-lr", type=float, default=1e-3)
     args = ap.parse_args()
     import jax
 
     jax.config.update("jax_platforms", args.platform)
     graph, m, params = train(args.steps, batch=args.batch, hw=args.hw,
-                             style=args.style)
+                             style=args.style, init_from=args.init_from,
+                             peak_lr=args.peak_lr)
     net_db, id_db = evaluate(graph, m, params, batch=args.batch, hw=args.hw,
                              style=args.style)
     print(f"held-out PSNR vs target ({args.style}@{args.hw}): "

@@ -116,14 +116,16 @@ def parse_trace_dir(trace_dir: str, steps: int, precision: str = "bfloat16") -> 
     }
     agg: Dict[str, TraceOp] = {}
     e2e_total = 0.0
-    n_steps_seen = 0
+    jit_counts: Dict[str, int] = {}
+    jit_durs: Dict[str, float] = {}
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "")
         if name.startswith("jit_") or name.startswith("pjit_"):
             e2e_total += float(e.get("dur", 0.0))
-            n_steps_seen += 1
+            jit_counts[name] = jit_counts.get(name, 0) + 1
+            jit_durs[name] = jit_durs.get(name, 0.0) + float(e.get("dur", 0.0))
             continue
         args = e.get("args", {}) or {}
         dur = float(e.get("dur", 0.0))
@@ -145,9 +147,19 @@ def parse_trace_dir(trace_dir: str, steps: int, precision: str = "bfloat16") -> 
                 source=str(args.get("source", "")),
                 long_name=str(args.get("long_name", ""))[:200],
             )
-    # Fall back to the caller's step count if the jit/pjit module event is
-    # absent from this trace (event naming varies by backend/version) —
-    # otherwise totals-over-all-steps would masquerade as per-step times.
+    # Steps = invocations of the DOMINANT jit program (by total device
+    # time), not the count of all jit events: a call can dispatch helper
+    # programs too (e.g. an input-relayout program under auto input
+    # layouts), and counting those as extra steps silently HALVES every
+    # per-step number (found r5: 2 jit events/call made a 0.45 ms step
+    # report as 0.31). e2e still sums ALL programs' device time — helper
+    # programs are real per-step work. Fall back to the caller's step
+    # count if the jit/pjit module event is absent from this trace
+    # (event naming varies by backend/version) — otherwise
+    # totals-over-all-steps would masquerade as per-step times.
+    n_steps_seen = (
+        jit_counts[max(jit_durs, key=jit_durs.get)] if jit_durs else 0
+    )
     div = n_steps_seen if n_steps_seen else max(int(steps), 1)
     for o in agg.values():
         o.us /= div

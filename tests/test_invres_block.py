@@ -218,9 +218,12 @@ def test_chain_c_pad_follows_activation_dtype():
         (2, 16, 16, 24, 144, 40, True, False),
     ],
 )
-def test_kernel_vs_oracle_padded(n, h, w, cin, e, cout, has_expand, residual):
+@pytest.mark.parametrize("row_chunk", [0, 8])
+def test_kernel_vs_oracle_padded(n, h, w, cin, e, cout, has_expand, residual,
+                                 row_chunk):
     """Padded-pitch layout (VERDICT r4 #5): zero guards replace border
-    masks; must match the same oracle exactly."""
+    masks; must match the same oracle exactly — whole-plane and
+    row-chunked dw+project variants."""
     import dataclasses
 
     rng = np.random.RandomState(1)
@@ -233,7 +236,7 @@ def test_kernel_vs_oracle_padded(n, h, w, cin, e, cout, has_expand, residual):
     spec = InvResSpec(
         h=h, w=w, cin=cin, e=e_ch, cout=cout, has_expand=has_expand,
         residual=residual, act_expand="relu6" if has_expand else "linear",
-        act_dw="relu6", act_out="linear", padded=True,
+        act_dw="relu6", act_out="linear", padded=True, row_chunk=row_chunk,
     )
     got = fused_invres_block(
         jnp.asarray(x),
