@@ -807,6 +807,20 @@ def main():
                            mstats["mean_ms"] / args.batch), 4)
             extra["mobilenetv2_compile_s"] = mstats["compile_s"]
             extra.update(_block_roofline(mstats, log, args.batch))
+            # Throughput-batch row (VERDICT r4 #4): XLA lays the early
+            # 224^2 convs out batch-minor (batch fills LANES), so b8
+            # uses 8/128 lanes there; serving at b64 fills them and
+            # lifts frames/s/chip ~40% while p50-per-frame also drops.
+            try:
+                t64 = bench_model("mobilenetv2", "int8", 64,
+                                  max(args.inner_loops // 2, 10), log,
+                                  args.backend, args.protocol)
+                extra["mobilenetv2_int8_b64_frames_per_sec_per_chip"] = round(
+                    t64["frames_per_sec"], 1)
+                extra["mobilenetv2_int8_b64_step_ms"] = round(
+                    t64["mean_ms"], 3)
+            except Exception as e:
+                log(f"mobilenetv2 b64 FAILED {type(e).__name__}: {e}")
             w = warm_compile_s("mobilenetv2", "INT8", args.batch, log)
             if w.get("warm_compile_s", -1) > 0:
                 extra["mobilenetv2_warm_compile_s"] = w["warm_compile_s"]

@@ -74,6 +74,36 @@ STYLES = {
         edge=0.35,
         posterize=5,  # soft-quantized color fields = the tesserae look
     ),
+    "pointilism": dict(  # saturated dabs: strong quantization, light edges
+        mix=np.array(
+            [[1.2, 0.1, -0.2], [-0.1, 1.1, 0.1], [0.1, -0.2, 1.2]],
+            np.float32,
+        ),
+        off=np.array([0.02, 0.0, 0.04], np.float32),
+        tone=3.0,
+        edge=0.15,
+        posterize=7,
+    ),
+    "rain-princess": dict(  # warm, soft tonal palette, painterly strokes
+        mix=np.array(
+            [[1.15, 0.25, -0.05], [0.1, 0.95, 0.1], [-0.05, 0.15, 0.8]],
+            np.float32,
+        ),
+        off=np.array([0.08, 0.02, -0.04], np.float32),
+        tone=1.8,
+        edge=0.45,
+        posterize=0,
+    ),
+    "udnie": dict(  # desaturated, high-contrast fauvist look
+        mix=np.array(
+            [[0.65, 0.45, 0.15], [0.35, 0.55, 0.25], [0.25, 0.35, 0.5]],
+            np.float32,
+        ),
+        off=np.array([-0.05, -0.02, 0.05], np.float32),
+        tone=3.2,
+        edge=0.5,
+        posterize=0,
+    ),
 }
 
 # Back-compat aliases (the 64^2 candy-equivalent artifact + its gates were
