@@ -92,6 +92,22 @@ def trained_espcn_section(log=print) -> list:
         p = psnr(pred[crop], hr[crop])
         log(f"trained espcn {label}: {p:.2f} dB (bilinear {base:.2f})")
         lines.append(f"| trained ESPCN, {label} | {p:.2f} |")
+    # A8W8: calibrate activation scales, rebuild — the packed chain then
+    # runs int8 x int8 dots (chain_a8) on its calibrated layers
+    from shadernn_tpu.quant.calibrate import calibrate_activations
+
+    # backend=PALLAS so the packed chain (interpret mode on CPU) actually
+    # runs the int8 dots this row claims to validate
+    opts = snn.EngineOptions(precision=snn.Precision.INT8, batch_size=4,
+                             backend=snn.BackendKind.PALLAS)
+    eng = snn.Engine.from_json(art, opts, input_hw=(64, 64))
+    calibrate_activations(eng, [{eng.graph.input_names[0]: lr}],
+                          percentile=None)
+    eng_a8 = snn.Engine.from_graph(eng.graph, opts)
+    pred = np.asarray(eng_a8.model.run_single(lr), np.float32)
+    p = psnr(pred[crop], hr[crop])
+    log(f"trained espcn a8w8: {p:.2f} dB (bilinear {base:.2f})")
+    lines.append(f"| trained ESPCN, int8 A8W8 (calibrated, chain_a8) | {p:.2f} |")
     return lines
 
 
