@@ -23,6 +23,19 @@ def build_aidenoise(
     depth: int = 3, seed: int = 7767517,
 ) -> Graph:
     assert channels == 1, "AIDenoise runs on the luma plane (1 channel)"
+    import os
+
+    art = os.path.join(
+        os.path.dirname(__file__), "artifacts", "aidenoise_trained_layers.json"
+    )
+    if os.path.exists(art) and (features, depth) == (16, 3):
+        # in-repo TRAINED artifact (tools/train_denoiser.py --model
+        # aidenoise; the reference ships none): fully convolutional, so
+        # input_hw retargets it to the requested frame size. Gates in
+        # tests/test_accuracy_denoiser.py.
+        from shadernn_tpu.graph.parser import parse_model_file
+
+        return parse_model_file(art, input_hw=(h, w))
     b = GraphBuilder("eff_predenoise", seed=seed)
     y = b.input(h, w, 1, name="input")
     x = b.conv2d(y, features, 3, stride=2, activation="relu", name="down")

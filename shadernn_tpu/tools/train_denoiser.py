@@ -46,6 +46,12 @@ def train(steps: int = 500, model: str = "spatialdenoise",
         # width-8 depth-3 variant so real weights fit the repo; the full
         # topology (enc/pool/deconv/skip-concat) is exercised unchanged
         graph = build_model("unet", h=size, w=size, base_filters=8, depth=3)
+    elif model == "aidenoise":
+        # the reference ships NO artifact for its AIDenoise runner; this
+        # trains one anyway (stride-2 encoder -> subpixel decoder with a
+        # global residual), closing the last untrained zoo family
+        graph = build_model("aidenoise", h=size, w=size, features=16,
+                            depth=3)
     else:
         graph = build_model(model, h=size, w=size, features=16, depth=4)
     m = compile_graph(
@@ -111,7 +117,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--model", default="spatialdenoise",
-                    choices=["spatialdenoise", "unet"])
+                    choices=["spatialdenoise", "unet", "aidenoise"])
     ap.add_argument("--out", default=ARTIFACT_DIR)
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()

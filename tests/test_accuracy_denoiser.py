@@ -24,6 +24,10 @@ ART = os.path.join(
 ARTIFACTS = {
     "spatialdenoise": os.path.join(ART, "spatialdenoise_trained_layers.json"),
     "unet": os.path.join(ART, "unet_trained_layers.json"),
+    # the reference ships NO AIDenoise artifact (its runner points at an
+    # absent zoo file); this one is trained in-repo anyway — the eighth
+    # and last zoo family to carry real gated weights
+    "aidenoise": os.path.join(ART, "aidenoise_trained_layers.json"),
 }
 # eval size must respect unet's pooling depth (divisible by 2^3)
 SIZE = 96
