@@ -147,7 +147,8 @@ def trained_denoiser_section(log=print) -> list:
         f"| noisy input (identity baseline) | {psnr(x, y):.2f} |",
     ]
     for model, label_model in (("spatialdenoise", "SpatialDenoise"),
-                               ("unet", "U-Net")):
+                               ("unet", "U-Net"),
+                               ("aidenoise", "AIDenoise")):
         art = os.path.join(ARTIFACT_DIR, f"{model}_trained_layers.json")
         if not os.path.exists(art):
             lines.append(f"| {label_model} | (artifact not built) |")
@@ -214,12 +215,14 @@ def trained_styletransfer_section(log=print) -> list:
 
     lines = ["| artifact | eval | net PSNR vs target (dB) "
              "| identity baseline (dB) |", "|---|---|---|---|"]
-    rng = np.random.default_rng(99)
 
-    def row(art, label, s, style, n=2):
+    def row(art, label, s, style, n=4):
         if not os.path.exists(art):
             lines.append(f"| {label} | — | (artifact not built) | |")
             return
+        # fresh generator per row: every style evaluates the SAME held-out
+        # images the gate uses (tests/test_accuracy_styletransfer.py)
+        rng = np.random.default_rng(99)
         eng = snn.Engine.from_json(
             art, snn.EngineOptions(batch_size=n), input_hw=(s, s))
         x = synth_imgs(rng, n, s=s)
@@ -231,7 +234,8 @@ def trained_styletransfer_section(log=print) -> list:
 
     row(os.path.join(ARTIFACT_DIR, "styletransfer_trained_layers.json"),
         "candy-equivalent (64-trained)", 64, "candy", n=4)
-    for style in ("candy", "mosaic"):
+    for style in ("candy", "mosaic", "pointilism", "rain-princess",
+                  "udnie"):
         row(os.path.join(
             ARTIFACT_DIR, f"styletransfer_{style}512_trained_layers.json"),
             f"{style} (512-trained)", 512, style)
