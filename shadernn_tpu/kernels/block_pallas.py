@@ -444,6 +444,14 @@ def fused_invres_block(
 # ~35 TFLOP/s; the MXU peaks are the PEAK_FLOPS table values. Used by
 # invres_floor_us to print a BINDING bound for the fused block kernels.
 VPU_F32_FLOPS = 35e12
+# The dw stage's true binding resource (r5 ablation, DEVNOTES): each of
+# the 9 taps streams the whole (P, E) expanded plane out of VMEM, so the
+# stage is VMEM-LOAD-bandwidth bound, not FMA bound. Measured on the
+# 28x28/E192 ablation (full 16.0 us vs no-dw 7.25 us for 26.5 MB of tap
+# loads + the f32 accumulator streams): ~4.3 TB/s sustained. The
+# constant is derived from that one shape and cross-checked against the
+# 14x14 and 7x7 blocks (non-circular for those).
+VMEM_STREAM_GBS = 4300.0
 
 
 def invres_floor_us(spec: InvResSpec, n: int, itemsize: int,
@@ -484,12 +492,20 @@ def invres_floor_us(spec: InvResSpec, n: int, itemsize: int,
     else:
         # 9 taps x (mul + add) + 8 border-selects ~ 26 ops/pixel-channel
         vpu_ops = (9 * 2 + 8) * pp * ep
+    # dw tap VMEM streams: 9 loads of the (P, E) plane (itemsize) + the
+    # f32 accumulator write + read — the stage's measured binding
+    # resource (VMEM_STREAM_GBS note above)
+    vmem_bytes = (9 * itemsize + 2 * 4) * pp * ep
     act_bytes = (p * spec.cin + p * spec.cout) * itemsize
     w_bytes = (
         spec.cin * spec.e + 9 * spec.e + spec.e * spec.cout
     ) * itemsize  # loaded once (constant-index weight blocks)
     mxu_us = steps * mxu_flops / peak_mxu * 1e6
-    vpu_us = steps * vpu_ops / VPU_F32_FLOPS * 1e6
+    # the dw stage's floor is whichever of its two resources binds:
+    # FMA issue or the VMEM tap/accumulator streams
+    vpu_us = steps * max(
+        vpu_ops / VPU_F32_FLOPS, vmem_bytes / (VMEM_STREAM_GBS * 1e9)
+    ) * 1e6
     hbm_us = (steps * act_bytes + w_bytes) / peak_hbm * 1e6
     return {
         "mxu_us": mxu_us,
