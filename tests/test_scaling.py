@@ -37,3 +37,32 @@ def test_scaling_is_not_serialized():
     fps1 = results[0]["frames_per_sec"]
     fps4 = results[1]["frames_per_sec"]
     assert fps4 >= 0.9 * fps1, (fps1, fps4)
+
+
+def test_dp_output_is_genuinely_sharded():
+    """Deterministic (non-timing) evidence the DP plan partitions work
+    (ADVICE r4 / r4 weak #7: the wall-clock bar is soft on a shared-core
+    virtual mesh): the 4-device engine's outputs must come back sharded
+    over all 4 devices with per-device shards of batch/4 — a serialized
+    or replicated plan cannot produce that."""
+    import numpy as np
+
+    from shadernn_tpu.config import EngineOptions, Precision, ShardingOptions
+    from shadernn_tpu.engine.engine import Engine
+    from shadernn_tpu.models import build_model
+    from shadernn_tpu.parallel.mesh import make_mesh
+
+    sharding = ShardingOptions(data=4)
+    graph = build_model("espcn", h=16, w=24)
+    eng = Engine.from_graph(
+        graph,
+        EngineOptions(precision=Precision.BF16, batch_size=8,
+                      sharding=sharding),
+        mesh=make_mesh(sharding),
+    )
+    x = np.random.default_rng(0).random((8, 16, 24, 1), dtype=np.float32)
+    y = eng.model({graph.input_names[0]: x})
+    out = y[graph.output_names[0]]
+    assert len(out.sharding.device_set) == 4, out.sharding
+    shard_batches = {s.data.shape[0] for s in out.addressable_shards}
+    assert shard_batches == {2}, shard_batches  # batch 8 / 4 devices
