@@ -327,7 +327,11 @@ def _block_roofline(stats, log, batch: int) -> dict:
         "block_dw_vpu_gflop": round(dw_flops / 1e9, 2),
         "block_matmul_gflop": round(mm_flops / 1e9, 2),
     }
-    # BINDING bound: per-block issued-work floor + measured dispatch toll.
+    # BINDING bound: per-block issued-work floors (MXU slots + the dw's
+    # VMEM-stream term + HBM — block_pallas.invres_floor_us). Dispatch is
+    # reported in the split but NOT added to the bound: its wall-clock
+    # micro-measurement is tunnel-weather noisy (observed 0-2.6 us/kernel
+    # across runs, enough to push a summed bound past the measured time).
     block_specs = getattr(fwd, "block_specs", None)
     if block_specs:
         from shadernn_tpu.kernels.block_pallas import invres_floor_us
@@ -336,16 +340,15 @@ def _block_roofline(stats, log, batch: int) -> dict:
             invres_floor_us(spec, nb, 2)  # bf16 activations
             for spec, nb in block_specs.values()
         ]
-        floor_us = sum(f["floor_us"] for f in floors)
+        bound_us = sum(f["floor_us"] for f in floors)
         launch_us = _measure_launch_us(log)
-        bound_us = floor_us + launch_us * len(floors)
         out["block_kernels_bound_ms"] = round(bound_us / 1e3, 4)
         out["block_kernels_pct_of_bound"] = round(100 * bound_us / k_us, 1)
         out["block_bound_split_us"] = {
             "mxu": round(sum(f["mxu_us"] for f in floors), 1),
             "vpu_dw": round(sum(f["vpu_us"] for f in floors), 1),
             "hbm": round(sum(f["hbm_us"] for f in floors), 1),
-            "dispatch": round(launch_us * len(floors), 1),
+            "dispatch_informational": round(launch_us * len(floors), 1),
         }
     log(f"block kernels roofline: {out}")
     return out
@@ -510,59 +513,78 @@ def _stream_bench(batch: int, log, seconds: float = 3.0) -> dict:
     # no threading involved), and an unbounded producer would let one bad
     # phase consume the whole bench. If the deadline trips, we snapshot
     # the stats so the degraded wall number is still reported honestly.
-    # Pass 0 (serialized window): same frames with max_inflight=1 — the
-    # direct on-chip overlap A/B (VERDICT r4 weak #4). Run back-to-back
-    # with pass 1 so both see similar tunnel weather.
-    n_frames = 10 * batch
-    serial_fps = 0.0
-    try:
-        s0 = StreamingEngine(eng, max_inflight=1).start()
-        d0 = threading.Event()
+    def _run_window(inflight: int, n_batches: int, deadline_s: float):
+        """One stream window: queue is PRE-FILLED before the dispatcher
+        starts (pure full batches, no producer pacing in the number),
+        hard-stopped on the deadline so an abandoned dispatcher never
+        overlaps the next window or the traced pass (ADVICE r4 medium).
+        Returns (stats, completed)."""
+        s = StreamingEngine(eng, max_inflight=inflight)
+        for i in range(n_batches * batch):
+            s.submit(0, i, frame)
+        s.queue.close()
+        s.start()
+        d = threading.Event()
 
-        def _serial_pass():
-            for i in range(n_frames):
-                s0.submit(0, i, frame)
-            s0.stop(drain=True)
-            d0.set()
+        def _joiner():
+            s.stop(drain=True)
+            d.set()
 
-        threading.Thread(target=_serial_pass, daemon=True).start()
-        if not d0.wait(timeout=max(seconds * 40, 120.0)):
-            s0._stop.set()
-            t0_ = s0._thread
-            if t0_ is not None:
-                t0_.join(timeout=30.0)
-        serial_fps = s0.stats()["throughput_fps"]
-        log(f"stream pass 0 (serialized window): {s0.stats()}")
-    except Exception as e:
-        log(f"stream serial pass failed: {type(e).__name__}: {e}")
+        threading.Thread(target=_joiner, daemon=True).start()
+        completed = d.wait(timeout=deadline_s)
+        if not completed:
+            log(f"stream window (inflight={inflight}) hit the "
+                "tunnel-weather deadline; hard-stopping")
+            s._stop.set()  # dispatcher polls _stop within 0.25 s
+            t = s._thread
+            if t is not None:
+                t.join(timeout=30.0)
+        return s.stats(), completed
 
-    stream = StreamingEngine(eng).start()
-    done = threading.Event()
-
-    def _produce_and_drain():
-        for i in range(n_frames):
-            stream.submit(0, i, frame)
-        stream.stop(drain=True)
-        done.set()
-
-    threading.Thread(target=_produce_and_drain, daemon=True).start()
-    if not done.wait(timeout=max(seconds * 40, 120.0)):
-        # Hard-stop pass 1 (ADVICE r4 medium): an abandoned producer/
-        # dispatcher would keep submitting on the shared engine while the
-        # traced pass 2 runs, mixing both streams' device steps into one
-        # trace and contending two dispatchers on one device.
-        log("stream pass 1 hit the tunnel-weather deadline; hard-stopping "
-            "before the traced pass")
-        stream._stop.set()  # dispatcher polls _stop within 0.25 s
-        try:  # sentinel is a courtesy; a full queue must not block bench
-            stream.queue._q.put_nowait(None)
-        except Exception:
-            pass
-        t = stream._thread
-        if t is not None:
-            t.join(timeout=30.0)
-    st = stream.stats()
-    log(f"stream pass 1 (wall) done: {st}")
+    # Overlap A/B (VERDICT r4 weak #4): ALTERNATE serialized-window
+    # (max_inflight=1) and overlapped windows so tunnel-weather drift
+    # hits both sides; the median of per-pair gains is the reported
+    # overlap win (a single serial-then-overlap pair measured both >1.2x
+    # and <0.7x purely on weather).
+    deadline = max(seconds * 20, 60.0)
+    _run_window(4, 2, deadline)  # warmup (first-dispatch costs)
+    pair_gains = []
+    serial_fps_all, overlap_stats = [], []
+    for _ in range(3):
+        st_s, ok_s = _run_window(1, 4, deadline)
+        st_o, ok_o = _run_window(4, 4, deadline)
+        if (ok_s and ok_o and st_s["throughput_fps"]
+                and st_o["throughput_fps"]):
+            # deadline-tripped windows carry deflated partial rates —
+            # only completed pairs enter the A/B
+            pair_gains.append(
+                st_o["throughput_fps"] / st_s["throughput_fps"])
+            serial_fps_all.append(st_s["throughput_fps"])
+        if ok_o and st_o["frames_done"]:
+            overlap_stats.append(st_o)
+    if not overlap_stats:  # all windows tripped: report the last anyway
+        overlap_stats = [st_o]
+    serial_fps = float(np.median(serial_fps_all)) if serial_fps_all else 0.0
+    # report wall-side numbers from the overlapped windows combined
+    frames_done = sum(s["frames_done"] for s in overlap_stats)
+    wall_s = sum(
+        s["frames_done"] / s["throughput_fps"]
+        for s in overlap_stats if s["throughput_fps"]
+    )
+    lat = [s.get("p50_latency_ms", 0.0) for s in overlap_stats]
+    st = {
+        "throughput_fps": frames_done / wall_s if wall_s else 0.0,
+        "frames_done": frames_done,
+        "batches_run": sum(s["batches_run"] for s in overlap_stats),
+        "mean_fetch_ms": float(np.mean(
+            [s["mean_fetch_ms"] for s in overlap_stats])),
+        "avg_fill": float(np.mean([s["avg_fill"] for s in overlap_stats])),
+        "p50_latency_ms": float(np.median(lat)),
+        "p99_latency_ms": max(
+            s.get("p99_latency_ms", 0.0) for s in overlap_stats),
+    }
+    log(f"stream A/B windows done: serial~{serial_fps:.1f} fps, "
+        f"pair gains {[round(g, 3) for g in pair_gains]}, overlap {st}")
     # Pass 2 (traced, short): device-side step time of the streamed
     # batches. Kept separate because profiling over the remote tunnel
     # adds large per-dispatch overhead that would poison the wall numbers.
@@ -589,10 +611,13 @@ def _stream_bench(batch: int, log, seconds: float = 3.0) -> dict:
         "yolo_stream_avg_fill": round(st["avg_fill"], 2),
         "yolo_stream_fetch_sum_ms": round(
             st["mean_fetch_ms"] * st["batches_run"], 1),
-        # direct A/B vs the serialized window (pass 0), same weather-ish
+        # alternated serialized-vs-overlapped window A/B: median of
+        # per-pair gains (robust to tunnel-weather drift between windows)
         "yolo_stream_serial_window_fps": round(serial_fps, 1),
         "yolo_stream_overlap_gain_vs_serial": round(
-            st["throughput_fps"] / serial_fps, 3) if serial_fps else 0.0,
+            float(np.median(pair_gains)), 3) if pair_gains else 0.0,
+        "yolo_stream_overlap_pair_gains": [
+            round(g, 3) for g in pair_gains],
         "yolo_stream_note": (
             "wall numbers include the remote-tunnel host<->device RTT "
             "(overlapped across batches); device_* rows are the on-device "

@@ -137,6 +137,13 @@ class StreamingEngine:
         self._inflight: List[tuple] = []
         self.max_inflight = max(int(max_inflight), 1)
         self._stop = threading.Event()
+        # Readiness-poll throttle: on a remote/tunnel device every
+        # is_ready() probe is an RPC that competes with the actual
+        # input/output transfers — un-throttled ~2 ms polling measured
+        # 2-3x WORSE wall throughput than a serialized window (bench r5
+        # A/B). 10 ms adds negligible latency vs real fetch times.
+        self.poll_interval_s = 0.01
+        self._last_poll = 0.0
         self._fetch_ms: List[float] = []  # per-batch blocking fetch times
         self.frames_done = 0
         self.batches_run = 0
@@ -207,8 +214,15 @@ class StreamingEngine:
         closed = False
         while not self._stop.is_set():
             # 1. retire every batch the device has already finished
-            while self._inflight and self._batch_ready(self._inflight[0][1]):
-                self._drain_one(*self._inflight.pop(0))
+            #    (readiness probes throttled — see poll_interval_s)
+            now = time.monotonic()
+            if self._inflight and now - self._last_poll >= self.poll_interval_s:
+                self._last_poll = now
+                while (
+                    self._inflight
+                    and self._batch_ready(self._inflight[0][1])
+                ):
+                    self._drain_one(*self._inflight.pop(0))
             # 2. full window: block on the oldest (device keeps chewing on
             #    the rest; the read itself is the only wait)
             if len(self._inflight) >= self.max_inflight:
@@ -223,11 +237,14 @@ class StreamingEngine:
             # 3. pick up new frames; poll quickly while work is in flight
             wait = 0.002 if self._inflight else 0.25
             frames = self.queue.get_batch(self.batch_size, wait_s=wait)
-            if frames and frames[-1] is None:
+            if None in frames:
                 closed = True
-                frames = frames[:-1]
+            # drop ALL sentinels: a twice-closed queue (pre-filled then
+            # stop(drain)) can yield [None, None], and _run_batch must
+            # never see an empty frame list
+            frames = [f for f in frames if f is not None]
             if frames:
-                self._run_batch([f for f in frames if f is not None])
+                self._run_batch(frames)
         # drain what's left after a hard stop
         while self._inflight:
             self._drain_one(*self._inflight.pop(0))
