@@ -172,6 +172,43 @@ def test_streaming_dispatch_overlaps_fetch():
     assert svc.stats()["frames_done"] == 6
 
 
+def test_streaming_prefilled_and_double_closed_queue():
+    """Regression (r5): a window pattern that pre-fills the queue, closes
+    it, starts the dispatcher, then stop(drain=True) closes it AGAIN used
+    to hand the dispatcher a [None, None] batch and crash _run_batch on
+    an empty frame list (aborting the window with deflated stats). Every
+    frame must come back exactly once, for several inflight settings."""
+    from shadernn_tpu.engine.streaming import StreamingEngine
+
+    class StubModel:
+        def __call__(self, inputs):
+            return {"out": inputs["input"]}
+
+    class StubEngine:
+        class options:
+            batch_size = 4
+            auto_output_layout = False
+
+        class graph:
+            input_names = ["input"]
+
+        model = StubModel()
+
+    for inflight in (1, 2, 4):
+        got = []
+        svc = StreamingEngine(
+            StubEngine(), max_inflight=inflight,
+            on_result=lambda r: got.append(r.frame_id),
+        )
+        for i in range(10):  # 2 full batches + one partial
+            svc.submit(0, i, np.full((2, 2, 1), i, np.float32))
+        svc.queue.close()
+        svc.start()
+        svc.stop(drain=True)
+        assert sorted(got) == list(range(10)), (inflight, got)
+        assert svc.stats()["frames_done"] == 10
+
+
 def test_profiler_table(rng):
     from shadernn_tpu.utils.profiler import print_report, profile_layers
 
