@@ -120,34 +120,47 @@ def cmd_serve(args):
         "serving_artifacts", f"{args.model}_{args.precision}_b{args.batch}"
     )
     t0 = time.time()
-    if args.no_aot or not os.path.exists(
-        os.path.join(export_dir, "step.stablehlo")
-    ):
-        # one-time deploy step (or explicit opt-out): build, compile, export
+    if args.no_aot:
+        # explicit opt-out: serve the jitted engine directly
         from shadernn_tpu.models.runners import make_engine
 
         precision, backend = _opts(args)
         eng = make_engine(args.model, precision, backend, args.batch)
-        if not args.no_aot:
+        in_name = eng.graph.input_names[0]
+        shape = eng.model.input_specs[in_name]
+        import jax as _jax
+
+        _jax.block_until_ready(
+            eng.model({in_name: np.zeros(shape, np.float32)}))
+        adapter = eng
+    else:
+        if not os.path.exists(os.path.join(export_dir, "step.stablehlo")):
+            # one-time deploy step: build, compile, export
+            from shadernn_tpu.models.runners import make_engine
+
+            precision, backend = _opts(args)
+            eng = make_engine(args.model, precision, backend, args.batch)
             export_engine(eng, export_dir)
             print(f"exported AOT artifact to {export_dir}/")
-    exp = ExportedEngine(export_dir)
-    (in_name,) = list(exp.meta["inputs"])
-    shape = exp.meta["inputs"][in_name]
-    # first execution compiles through the persistent cache (deserialized
-    # StableHLO is deterministic) — block so start time is honest
-    np.asarray(exp.run_single(np.zeros(shape, np.float32)))
+        exp = ExportedEngine(export_dir)
+        (in_name,) = list(exp.meta["inputs"])
+        shape = exp.meta["inputs"][in_name]
+        # first execution compiles through the persistent cache
+        # (deserialized StableHLO is deterministic) — block so the start
+        # time is honest
+        np.asarray(exp.run_single(np.zeros(shape, np.float32)))
+        # continuous-batching service over the exported step:
+        # StreamingEngine needs .model (callable), .options.batch_size,
+        # .graph.input_names
+        adapter = SimpleNamespace(
+            model=exp,
+            options=SimpleNamespace(batch_size=shape[0],
+                                    auto_output_layout=False),
+            graph=SimpleNamespace(input_names=[in_name]),
+        )
     print(f"serving ready in {time.time() - t0:.1f}s "
           f"({'AOT' if not args.no_aot else 'JIT'}; model {args.model}, "
           f"batch {shape[0]})")
-
-    # continuous-batching service over the exported step: StreamingEngine
-    # needs .model (callable), .options.batch_size, .graph.input_names
-    adapter = SimpleNamespace(
-        model=exp,
-        options=SimpleNamespace(batch_size=shape[0], auto_output_layout=False),
-        graph=SimpleNamespace(input_names=[in_name]),
-    )
     svc = StreamingEngine(adapter).start()
     rng = np.random.default_rng(0)
     for i in range(args.frames):
