@@ -8,6 +8,7 @@ The reference ships per-model CLI test binaries with CLI11 flags
   python -m shadernn_tpu.demo run resnet18 --inner-loops 50 --backend pallas
   python -m shadernn_tpu.demo profile espcn
   python -m shadernn_tpu.demo stream espcn --frames 64 --batch 8
+  python -m shadernn_tpu.demo serve espcn --batch 8     # AOT product path
   python -m shadernn_tpu.demo list
 """
 
